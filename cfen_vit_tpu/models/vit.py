@@ -1,0 +1,207 @@
+"""Local/Global ViT blocks (LViT / GViT) and the 1-layer pre-norm encoder.
+
+Mirrors the reference's LViT/GViT (networks_iid_hlgvit_crs_gd4_cfs_v3.py:
+1062-1325) and TransformerEncoder(Layer) (:1344-1390), with two structural
+changes that preserve numerics:
+
+  * batch-first [N, S, E] token tensors instead of torch's seq-first;
+  * LViT is applied to ALL tiles of a level at once ([B*T, S, E]) — the
+    reference calls the same shared-weight module once per tile (336
+    calls/forward, ref :403-482).  Disjoint tiles + shared weights make the
+    batched form bit-identical per tile.
+
+The reference also constructs a TransformerDecoder and query_embed that are
+never called (ref :1116, :1121-1122, :1393-1447); their weights exist in
+checkpoints and are ignored by our importer rather than re-created here.
+
+Attention = torch nn.MultiheadAttention(bias=False) semantics: packed
+q/k/v projections without bias, scaling 1/sqrt(head_dim), out-proj without
+bias (ref :1364).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import nn as N
+from ..ops.patch import unfold_tokens, fold_tokens
+from ..ops.resize import avg_pool2, upsample_bilinear2
+
+
+# --------------------------------------------------------------------------
+# multi-head attention (torch MultiheadAttention, bias=False)
+# --------------------------------------------------------------------------
+
+def mha_init(key, dim: int, num_heads: int):
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    # in_proj: kaiming_uniform(a=sqrt(5)) over the packed [3E, E] weight
+    # (ref :1377); fan_in = E.  out_proj gets kaiming-normal via the global
+    # init_weights pass (classname contains 'Linear', ref :49-74).
+    del num_heads  # static: threaded through apply, not stored in the pytree
+    return {
+        "wq": N.kaiming_uniform_a5(kq, (dim, dim), dim),
+        "wk": N.kaiming_uniform_a5(kk, (dim, dim), dim),
+        "wv": N.kaiming_uniform_a5(kv, (dim, dim), dim),
+        "wo": N.kaiming_normal(ko, (dim, dim), dim),
+    }
+
+
+def mha_apply(p, q_in, k_in, v_in, num_heads):
+    """[N,S,E] batch-first self-attention."""
+    nh = num_heads
+    n, s, e = q_in.shape
+    dh = e // nh
+    q = (q_in @ p["wq"].astype(q_in.dtype)).reshape(n, s, nh, dh)
+    k = (k_in @ p["wk"].astype(q_in.dtype)).reshape(n, s, nh, dh)
+    v = (v_in @ p["wv"].astype(q_in.dtype)).reshape(n, s, nh, dh)
+    scale = 1.0 / math.sqrt(dh)
+    logits = jnp.einsum("nqhd,nkhd->nhqk", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("nhqk,nkhd->nqhd", probs, v)
+    return out.reshape(n, s, e) @ p["wo"].astype(q_in.dtype)
+
+
+# --------------------------------------------------------------------------
+# pre-norm encoder layer  (ref TransformerEncoderLayer :1359-1390)
+# --------------------------------------------------------------------------
+
+def encoder_layer_init(key, dim: int, num_heads: int, hidden: int,
+                       no_norm: bool = False):
+    ka, k1, k2 = jax.random.split(key, 3)
+    p = {
+        "attn": mha_init(ka, dim, num_heads),
+        "linear1": {"w": N.kaiming_normal(k1, (dim, hidden), dim),
+                    "b": jnp.zeros((hidden,))},
+        "linear2": {"w": N.kaiming_normal(k2, (hidden, dim), hidden),
+                    "b": jnp.zeros((dim,))},
+    }
+    if not no_norm:
+        p["norm1"] = N.layer_norm_init(dim)
+        p["norm2"] = N.layer_norm_init(dim)
+    return p
+
+
+def encoder_layer_apply(p, src, num_heads, pos=None):
+    src2 = N.layer_norm(p["norm1"], src) if "norm1" in p else src
+    qk = src2 if pos is None else src2 + pos
+    src = src + mha_apply(p["attn"], qk, qk, src2, num_heads)
+    src2 = N.layer_norm(p["norm2"], src) if "norm2" in p else src
+    src2 = N.linear(p["linear2"], N.relu(N.linear(p["linear1"], src2)))
+    return src + src2
+
+
+# --------------------------------------------------------------------------
+# LViT / GViT
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ViTSpec:
+    img_dim: int          # spatial size the token grid covers
+    patch_dim: int
+    num_channels: int
+    embedding_dim: int
+    num_heads: int
+    num_layers: int
+    hidden_dim: int
+    no_norm: bool = False
+    no_mlp: bool = False
+    pos_every: bool = False
+    no_pos: bool = False
+    global_pools: int = 0  # GViT: #avg-pool-2x before / bilinear-2x after
+    shrink: int = 1        # v5 variant: channel shrink factor inside the ViT
+
+    @property
+    def seq_length(self) -> int:
+        return (self.img_dim // self.patch_dim) ** 2
+
+    @property
+    def inner_channels(self) -> int:
+        """Channels tokenized (v5 shrinks by 4 via a 1x1 conv first)."""
+        return self.num_channels // self.shrink
+
+    @property
+    def flatten_dim(self) -> int:
+        return self.patch_dim * self.patch_dim * self.inner_channels
+
+
+def vit_init(key, spec: ViTSpec):
+    keys = jax.random.split(key, 4 + spec.num_layers)
+    p = {}
+    c_in = spec.num_channels
+    if spec.shrink > 1:
+        c_sh = spec.inner_channels
+        p["conv_shrink"] = {"conv": N.conv_init(keys[0], 1, 1, c_in, c_sh),
+                            "an": N.actnorm_init(c_sh)}
+        p["conv_extend"] = {"conv": N.conv_init(keys[1], 1, 1, c_sh, c_in),
+                            "an": N.actnorm_init(c_in)}
+    if not spec.no_mlp:
+        p["linear_encoding"] = N.linear_init(keys[2], spec.flatten_dim,
+                                             spec.embedding_dim)
+        kh1, kh2 = jax.random.split(keys[3])
+        p["mlp_head"] = {
+            "l1": N.linear_init(kh1, spec.embedding_dim, spec.hidden_dim),
+            "l2": N.linear_init(kh2, spec.hidden_dim, spec.flatten_dim),
+        }
+    p["layers"] = [
+        encoder_layer_init(keys[4 + i], spec.embedding_dim, spec.num_heads,
+                           spec.hidden_dim, spec.no_norm)
+        for i in range(spec.num_layers)
+    ]
+    if not spec.no_pos:
+        # LearnedPositionalEncoding = nn.Embedding(seq, dim) (ref :1327-1342),
+        # torch default init: N(0, 1).
+        kpe = jax.random.fold_in(key, 7)
+        p["pos"] = jax.random.normal(kpe,
+                                     (spec.seq_length, spec.embedding_dim))
+    return p
+
+
+def vit_apply(p, spec: ViTSpec, x, an_ctx=None, path=()):
+    """Apply the ViT block to NHWC maps.
+
+    x: [N, img_dim*(2**global_pools), ..., C].  Returns same shape.
+    an_ctx: optional ActNorm context (see generator._ANCtx) used by the v5
+    shrink convs — the only stateful norm inside a ViT block.
+    """
+    if spec.global_pools:
+        for _ in range(spec.global_pools):
+            x = avg_pool2(x)
+
+    if spec.shrink > 1:
+        y = N.conv2d(p["conv_shrink"]["conv"], x)
+        y = (an_ctx(p["conv_shrink"]["an"], y, path + ("conv_shrink", "an"))
+             if an_ctx else N.actnorm_apply(p["conv_shrink"]["an"], y))
+        x = N.relu(y)
+
+    n, h, w, c = x.shape
+    t = unfold_tokens(x, spec.patch_dim)          # [N, S, flatten]
+    if not spec.no_mlp:
+        t = N.linear(p["linear_encoding"], t) + t
+    pos = p.get("pos")
+    if pos is not None and not spec.pos_every:
+        t = t + pos.astype(t.dtype)
+    for layer in p["layers"]:
+        t = encoder_layer_apply(
+            layer, t, spec.num_heads, pos=pos.astype(t.dtype)
+            if (spec.pos_every and pos is not None) else None)
+    if not spec.no_mlp:
+        t = N.linear(p["mlp_head"]["l2"],
+                     N.relu(N.linear(p["mlp_head"]["l1"], t))) + t
+    x = fold_tokens(t, spec.patch_dim, h, w)
+
+    if spec.shrink > 1:
+        y = N.conv2d(p["conv_extend"]["conv"], x)
+        y = (an_ctx(p["conv_extend"]["an"], y, path + ("conv_extend", "an"))
+             if an_ctx else N.actnorm_apply(p["conv_extend"]["an"], y))
+        x = N.relu(y)
+
+    if spec.global_pools:
+        for _ in range(spec.global_pools):
+            x = upsample_bilinear2(x)
+    return x

@@ -1,0 +1,95 @@
+"""SSIM / MS-SSIM mirroring the reference's pytorch_msssim package.
+
+Math follows /root/reference/pytorch_msssim/__init__.py:7-107 exactly:
+11x11 gaussian window (sigma 1.5), VALID padding, automatic value-range
+detection (max>128 => L from 255, min<-0.5 => range includes -1), C1/C2 with
+k1=0.01 / k2=0.03, and the Wang et al. MS-SSIM weighting
+[0.0448, 0.2856, 0.3001, 0.2363, 0.1333] with 2x avg-pool between levels.
+
+Inputs are NHWC in the reference's [-1, 1] convention.  The depthwise window
+conv is expressed as a feature-group conv so XLA maps it to the MXU.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .resize import avg_pool2
+
+_DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
+                                 ("NHWC", "HWIO", "NHWC"))
+
+
+def gaussian_window(size: int = 11, sigma: float = 1.5):
+    g = jnp.exp(-jnp.square(jnp.arange(size) - size // 2) / (2.0 * sigma ** 2))
+    g = g / jnp.sum(g)
+    return jnp.outer(g, g)
+
+
+def _depthwise(x, win):
+    c = x.shape[-1]
+    k = win[:, :, None, None] * jnp.ones((1, 1, 1, c), x.dtype)
+    k = k.reshape(win.shape[0], win.shape[1], 1, c)
+    return lax.conv_general_dilated(
+        x, k.astype(x.dtype), (1, 1), "VALID", dimension_numbers=_DN,
+        feature_group_count=c)
+
+
+def ssim(img1, img2, window_size: int = 11, val_range=None, full: bool = False):
+    """Mean SSIM over the batch (size_average=True path of the reference)."""
+    if val_range is None:
+        max_val = jnp.where(jnp.max(img1) > 128, 255.0, 1.0)
+        min_val = jnp.where(jnp.min(img1) < -0.5, -1.0, 0.0)
+        L = max_val - min_val
+    else:
+        L = val_range
+    _, h, w, _ = img1.shape
+    real_size = min(window_size, h, w)
+    win = gaussian_window(real_size).astype(img1.dtype)
+
+    mu1 = _depthwise(img1, win)
+    mu2 = _depthwise(img2, win)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = _depthwise(img1 * img1, win) - mu1_sq
+    sigma2_sq = _depthwise(img2 * img2, win) - mu2_sq
+    sigma12 = _depthwise(img1 * img2, win) - mu1_mu2
+
+    C1 = (0.01 * L) ** 2
+    C2 = (0.03 * L) ** 2
+    v1 = 2.0 * sigma12 + C2
+    v2 = sigma1_sq + sigma2_sq + C2
+    cs = jnp.mean(v1 / v2)
+    ssim_map = ((2 * mu1_mu2 + C1) * v1) / ((mu1_sq + mu2_sq + C1) * v2)
+    ret = jnp.mean(ssim_map)
+    if full:
+        return ret, cs
+    return ret
+
+
+def msssim(img1, img2, window_size: int = 11, val_range=None):
+    weights = jnp.array([0.0448, 0.2856, 0.3001, 0.2363, 0.1333],
+                        dtype=img1.dtype)
+    ssims, mcs = [], []
+    for _ in range(5):
+        sim, cs = ssim(img1, img2, window_size=window_size,
+                       val_range=val_range, full=True)
+        ssims.append(sim)
+        mcs.append(cs)
+        img1 = avg_pool2(img1)
+        img2 = avg_pool2(img2)
+    ssims = jnp.stack(ssims)
+    mcs = jnp.stack(mcs)
+    pow1 = mcs ** weights
+    pow2 = ssims ** weights
+    return jnp.prod(pow1[:-1]) * pow2[-1]
+
+
+def psnr(img1, img2, data_range: float = 2.0):
+    """PSNR over the [-1,1] convention by default (data_range=2)."""
+    mse = jnp.mean(jnp.square(img1 - img2))
+    return 10.0 * jnp.log10(data_range ** 2 / jnp.maximum(mse, 1e-12))
