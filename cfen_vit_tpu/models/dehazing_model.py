@@ -1,0 +1,111 @@
+"""Model wrappers: the reference's `create_model` layer (models/__init__.py:3-29).
+
+`--model` names map to wrappers over the parametric generator:
+  dec_vit  -> DECHLGVIT-equivalent (IID, 3 branches; ref model_iid_dehazing.py)
+  decr_vit -> reflectance-only (ref model_iidr_dehazing.py; netG iidr_*)
+  decs_vit -> shading-only (ref model_iids_dehazing.py)
+  decn_vit -> no-IID (single decoder; the reference wrapper file is missing —
+              a documented defect — but the network exists; we support it)
+  vit      -> MGVIT-equivalent single-output trainer (ref mgvit_model.py)
+  test     -> generator-only eval wrapper
+
+Inference contract matches the reference: visuals are named
+real_B / fake_A / fake_R / fake_S (+ real_* in train), S is expanded
+1->3 channels for losses/display (ref model_iid_dehazing.py:147-155), and
+`test()` is a no-grad jitted forward (ref base_model.py:53-55).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .generator import generator_forward, generator_init
+from .registry import generator_spec
+from ..train.checkpoint import load_net, save_net, latest_epoch
+
+_MODEL_DEFAULT_G = {
+    "dec_vit": None,                      # uses cfg.model_G
+    "decr_vit": "iidr_hlgvit_crs_gd4",
+    "decs_vit": "iids_hlgvit_crs_gd4",
+    "decn_vit": "iidn_hlgvit_crs_gd4",
+    "test": None,
+}
+
+# branch -> reference visual name
+_VISUAL = {"d": "fake_A", "r": "fake_R", "s": "fake_S"}
+
+
+class DehazingModel:
+    """Generator wrapper for inference / evaluation (training lives in
+    cfen_vit_tpu.train.trainer, which composes this with discriminators)."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        g_name = _MODEL_DEFAULT_G.get(cfg.model) or cfg.model_G
+        self.spec = generator_spec(g_name, cfg)
+        self.params = None
+        self.image_paths = []
+        self.real_B = None
+        self._fwd = jax.jit(partial(self._forward_impl, self.spec))
+
+    @staticmethod
+    def _forward_impl(spec, params, x):
+        return generator_forward(params, spec, x)
+
+    # -- lifecycle ---------------------------------------------------------
+    def init_params(self, seed: int = 0):
+        self.params = generator_init(jax.random.PRNGKey(seed), self.spec)
+        return self.params
+
+    def setup(self, cfg=None):
+        cfg = cfg or self.cfg
+        epoch = cfg.which_epoch
+        if epoch == "latest" and latest_epoch(cfg) and not _exists(cfg,
+                                                                   "latest"):
+            epoch = latest_epoch(cfg)
+        self.params = jax.device_put(load_net(cfg, epoch, "G", self.spec))
+
+    def save(self, epoch):
+        return save_net(self.cfg, epoch, "G", self.params)
+
+    # -- inference ---------------------------------------------------------
+    def set_input(self, batch: Dict):
+        self.real_B = jnp.asarray(batch["B"])
+        self.image_paths = batch["B_paths"]
+
+    def test(self, cfg=None) -> Dict[str, np.ndarray]:
+        out = self._fwd(self.params, self.real_B)
+        self.visuals = {"real_B": np.asarray(self.real_B)}
+        for b, arr in out.items():
+            self.visuals[_VISUAL[b]] = np.asarray(arr)
+        return self.visuals
+
+    def get_current_visuals(self) -> Dict[str, np.ndarray]:
+        return dict(self.visuals)
+
+    def get_image_paths(self):
+        return self.image_paths
+
+
+def _exists(cfg, epoch):
+    import os
+    d = os.path.join(cfg.checkpoints_dir, cfg.name)
+    return (os.path.exists(os.path.join(d, f"{epoch}_net_G.msgpack"))
+            or os.path.exists(os.path.join(d, f"{epoch}_net_G.pth")))
+
+
+def create_model(cfg):
+    """Reference-parity factory (models/__init__.py:3-29)."""
+    if cfg.model in ("dec_vit", "decr_vit", "decs_vit", "decn_vit", "test",
+                     "vit"):
+        if cfg.isTrain:
+            from ..train.trainer import GanTrainer
+            return GanTrainer(cfg)
+        return DehazingModel(cfg)
+    raise NotImplementedError(f"model [{cfg.model}] not implemented.")

@@ -1,0 +1,3 @@
+from .images import tensor2im, save_image, mkdirs, save_images  # noqa: F401
+from .html import HTML  # noqa: F401
+from .visualizer import Visualizer  # noqa: F401

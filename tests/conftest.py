@@ -1,28 +1,18 @@
 """Test harness config: run on a virtual 8-device CPU mesh (no TPU needed).
 
 The container's sitecustomize (PYTHONPATH=/root/.axon_site) preimports jax
-and registers the axon TPU backend before any conftest code runs, so setting
-env vars here is too late — instead we re-exec pytest once with a scrubbed
-environment (CPU platform, 8 virtual devices, no sitecustomize preimport).
+with JAX_PLATFORMS=axon before conftest runs, but no backend is initialized
+yet, so overriding via jax.config here still works — and is capture-safe
+(re-exec'ing pytest would lose stdout to its capture fds).
 
-This is the "fake backend" leg of the test pyramid SURVEY.md section 4 calls
-for; multi-device sharding tests run on the virtual mesh.
+This is the "fake backend" leg of the test pyramid SURVEY.md section 4
+calls for; multi-device sharding tests run on the virtual CPU mesh.
 """
 
-import os
-import sys
+import jax
 
-if os.environ.get("CFEN_TEST_REEXEC") != "1":
-    env = dict(os.environ)
-    env["CFEN_TEST_REEXEC"] = "1"
-    env["JAX_PLATFORMS"] = "cpu"
-    env["PYTHONPATH"] = ""  # drop the axon sitecustomize jax preimport
-    flags = env.get("XLA_FLAGS", "")
-    if "host_platform_device_count" not in flags:
-        env["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8").strip()
-    os.execve(sys.executable,
-              [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest
@@ -31,6 +21,11 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    return jax.devices("cpu")
 
 
 def pytest_configure(config):
