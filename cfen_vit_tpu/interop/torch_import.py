@@ -63,7 +63,7 @@ def _actnorm(sd, key):
     return {"w": _np(sd[f"{key}.weight"]),
             "b": _np(sd[f"{key}.bias"]),
             "initialized": np.asarray(_np(sd[f"{key}.initialized"]),
-                                      dtype=np.int32).reshape(())}
+                                      dtype=np.float32).reshape(())}
 
 
 def _vit(sd, prefix, num_layers, no_mlp=False, no_pos=False, shrink=1):

@@ -1,0 +1,173 @@
+"""VGG19 feature tower + the three perceptual losses built on it.
+
+The reference uses two torchvision-pretrained VGG19 wrappers:
+  * epdn/epdn_networks.py:663-693 `Vgg19` sliced at relu1_1/2_1/3_1/4_1/5_1,
+    feeding `VGGLoss` (:134-146): L1 per slice, weights [1/32,1/16,1/8,1/4,1],
+    inputs in [-1,1] with NO mean normalization;
+  * models/vgg.py:199-229 `VGG19FeatLayer`: subtracts the ImageNet mean
+    (no std), tap naming where 'reluK_2' is the ReLU after convK_1; feeds
+    SemanticConsistencyLoss (L1 on relu3_2, ref consistency.py:9-27) and
+    IDMRFLoss (MRF on relu3_2 + relu4_2, ref consistency.py:30-102).
+
+This container has no torchvision / no network egress, so pretrained
+weights must be provided as an .npz via `CFEN_VGG19_NPZ` (keys
+`conv{k}_{i}.w` HWIO / `.b`) or cfg; otherwise `vgg19_init` gives a fixed
+seeded random tower — the loss is then still a valid trainable perceptual
+loss (random-feature perceptual losses are well studied), just not
+ImageNet-VGG.  A converter from a torchvision state_dict lives in
+interop/torch_import.py-style form below (`weights_from_torch_vgg`).
+
+Only the taps the losses need are computed: through conv5_1 for the
+perceptual loss, conv4_1 for MRF.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import nn as N
+
+# (block, convs-in-block) for VGG19 features through conv5_1
+_VGG19_BLOCKS = [(64, 2), (128, 2), (256, 4), (512, 4), (512, 4)]
+
+# layers we actually need: everything up to and including conv5_1
+_NEEDED = [("conv1_1",), ("conv1_2",), ("conv2_1",), ("conv2_2",),
+           ("conv3_1",), ("conv3_2",), ("conv3_3",), ("conv3_4",),
+           ("conv4_1",), ("conv4_2",), ("conv4_3",), ("conv4_4",),
+           ("conv5_1",)]
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+
+
+def _layer_defs():
+    defs = []
+    cin = 3
+    for bi, (ch, n) in enumerate(_VGG19_BLOCKS, start=1):
+        for ci in range(1, n + 1):
+            defs.append((f"conv{bi}_{ci}", cin, ch))
+            cin = ch
+    return defs
+
+
+def vgg19_init(key=None, npz_path: Optional[str] = None) -> Dict:
+    """Load pretrained weights if available, else seeded random."""
+    npz_path = npz_path or os.environ.get("CFEN_VGG19_NPZ", "")
+    params: Dict = {}
+    if npz_path and os.path.exists(npz_path):
+        data = np.load(npz_path)
+        for name, cin, ch in _layer_defs():
+            if f"{name}.w" not in data:
+                break
+            params[name] = {"w": jnp.asarray(data[f"{name}.w"]),
+                            "b": jnp.asarray(data[f"{name}.b"])}
+        if params:
+            return params
+    key = key if key is not None else jax.random.PRNGKey(1234)
+    for i, (name, cin, ch) in enumerate(_layer_defs()):
+        params[name] = N.conv_init(jax.random.fold_in(key, i), 3, 3, cin, ch)
+    return params
+
+
+def weights_from_torch_vgg(state_dict) -> Dict[str, np.ndarray]:
+    """Convert torchvision vgg19().features state_dict to our npz layout."""
+    idx_to_name = []
+    li = 0
+    for bi, (ch, n) in enumerate(_VGG19_BLOCKS, start=1):
+        for ci in range(1, n + 1):
+            idx_to_name.append((li, f"conv{bi}_{ci}"))
+            li += 2  # conv + relu
+        li += 1      # pool
+    out = {}
+    for idx, name in idx_to_name:
+        w = np.asarray(state_dict[f"{idx}.weight"])
+        out[f"{name}.w"] = w.transpose(2, 3, 1, 0)
+        out[f"{name}.b"] = np.asarray(state_dict[f"{idx}.bias"])
+    return out
+
+
+def vgg19_features(params, x, taps: Tuple[str, ...],
+                   subtract_mean: bool = False) -> Dict[str, jnp.ndarray]:
+    """x: NHWC.  taps name the ReLU after a conv, e.g. 'relu3_1'.
+
+    Runs only as deep as the deepest requested tap."""
+    if subtract_mean:
+        x = x - jnp.asarray(_IMAGENET_MEAN, x.dtype)
+    want = set(taps)
+    feats = {}
+    for bi, (ch, n) in enumerate(_VGG19_BLOCKS, start=1):
+        if bi > 1:
+            x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                      (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        for ci in range(1, n + 1):
+            name = f"conv{bi}_{ci}"
+            x = N.relu(N.conv2d(params[name], x, padding=1))
+            tap = f"relu{bi}_{ci}"
+            if tap in want:
+                feats[tap] = x
+                if len(feats) == len(want):
+                    return feats
+    return feats
+
+
+def vgg_perceptual_loss(params, x, y):
+    """epdn VGGLoss: sliced L1 with pyramid weights (ref :134-146)."""
+    taps = ("relu1_1", "relu2_1", "relu3_1", "relu4_1", "relu5_1")
+    weights = (1 / 32, 1 / 16, 1 / 8, 1 / 4, 1.0)
+    fx = vgg19_features(params, x, taps)
+    fy = vgg19_features(params, y, taps)
+    fy = jax.tree_util.tree_map(jax.lax.stop_gradient, fy)
+    return sum(w * jnp.mean(jnp.abs(fx[t] - fy[t]))
+               for w, t in zip(weights, taps))
+
+
+def semantic_consistency_loss(params, out, target):
+    """L1 on the FeatLayer's 'relu3_2' (== ReLU after conv3_1),
+    inputs mean-shifted (ref consistency.py:9-27, vgg.py:205-216)."""
+    fo = vgg19_features(params, out, ("relu3_1",), subtract_mean=True)
+    ft = vgg19_features(params, target, ("relu3_1",), subtract_mean=True)
+    return jnp.mean(jnp.abs(fo["relu3_1"] - ft["relu3_1"]))
+
+
+def _mrf(o, t):
+    """One-layer ID-MRF divergence (ref consistency.py:42-91).
+
+    o, t: [N,H,W,C].  The reference's per-pixel 1x1-patch conv is a plain
+    cosine-similarity matmul [HW_o, HW_t] per image — one large MXU matmul
+    here instead of a Python loop of convs.
+    """
+    n, h, w, c = o.shape
+    t_mean = jnp.mean(t, axis=-1, keepdims=True)
+    o_f = o - t_mean
+    t_f = t - t_mean
+    o_n = o_f / (jnp.linalg.norm(o_f, axis=-1, keepdims=True))
+    t_n = t_f / (jnp.linalg.norm(t_f, axis=-1, keepdims=True))
+    o_n = o_n.reshape(n, h * w, c)
+    t_n = t_n.reshape(n, h * w, c)
+    cos = jnp.einsum("nqc,npc->nqp", o_n, t_n,
+                     preferred_element_type=jnp.float32)  # [N, HWo, HWt]
+    # conv output layout is [HW_t filters, spatial HW_o] => dim1 of the
+    # reference's cdist is the t-patch axis; relative-dist mins over it.
+    cdist = -(cos - 1.0) / 2.0                       # [N, q, p]
+    rel = cdist / (jnp.min(cdist, axis=2, keepdims=True) + 1e-5)
+    before = jnp.exp((1.0 - rel) / 0.5)
+    cs = before / jnp.sum(before, axis=2, keepdims=True)
+    k_max = jnp.max(cs, axis=1)                      # max over o-positions
+    div = jnp.mean(k_max, axis=1)
+    return jnp.sum(-jnp.log(div))
+
+
+def idmrf_loss(params, out, target):
+    """style{relu3_2:1, relu4_2:1} + content{relu4_2:1} (ref :30-102)."""
+    fo = vgg19_features(params, out, ("relu3_1", "relu4_1"),
+                        subtract_mean=True)
+    ft = vgg19_features(params, target, ("relu3_1", "relu4_1"),
+                        subtract_mean=True)
+    m3 = _mrf(fo["relu3_1"], ft["relu3_1"])
+    m4 = _mrf(fo["relu4_1"], ft["relu4_1"])
+    return m3 + 2.0 * m4

@@ -75,8 +75,10 @@ def layer_norm_init(dim):
 
 def actnorm_init(dim):
     # weight/bias resolved by the data-dependent init pass (see actnorm_apply)
+    # the flag is float32 so the whole param tree is differentiable
+    # (it is bookkeeping only; Adam no-ops on its zero gradient)
     return {"w": jnp.zeros((dim,)), "b": jnp.zeros((dim,)),
-            "initialized": jnp.zeros((), dtype=jnp.int32)}
+            "initialized": jnp.zeros((), dtype=jnp.float32)}
 
 
 # --------------------------------------------------------------------------
@@ -153,7 +155,7 @@ def actnorm_apply(p, x, init: bool = False):
         new_b = jnp.where(done, p["b"], -mean)
         new_w = jnp.where(done, p["w"], -0.5 * jnp.log(var))
         newp = {"w": new_w, "b": new_b,
-                "initialized": jnp.ones((), dtype=jnp.int32)}
+                "initialized": jnp.ones((), dtype=jnp.float32)}
         y = (x + new_b.astype(x.dtype)) * jnp.exp(new_w).astype(x.dtype)
         return y, newp
     return (x + p["b"].astype(x.dtype)) * jnp.exp(p["w"]).astype(x.dtype)

@@ -81,11 +81,15 @@ def _to_numpy(tree):
 
 
 def save_train_state(cfg, tag: str, state_tree) -> str:
+    """Serializes via flax to_state_dict so optax namedtuple states become
+    plain dicts; restore with `from_state_dict` against a freshly
+    initialized state template."""
     path = os.path.join(cfg.checkpoints_dir, cfg.name,
                         f"{tag}_train_state.msgpack")
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    sd = serialization.to_state_dict(state_tree)
     with open(path, "wb") as fh:
-        fh.write(serialization.msgpack_serialize(_to_numpy(state_tree)))
+        fh.write(serialization.msgpack_serialize(_to_numpy(sd)))
     return path
 
 

@@ -1,0 +1,311 @@
+"""Conditional-GAN trainer (the reference's DECHLGVIT, model_iid_dehazing.py).
+
+One jit-compiled `train_step` per batch contains, in reference order
+(ref :272-287):
+  1. generator forward + 7-term G loss (ref :190-270) + Adam update;
+  2. ImagePool mixing of the PRE-update fakes (ref :173-187 uses the fakes
+     computed before optimizer_G.step's effect on the next forward);
+  3. LS-GAN D loss (0.5*(real+fake), ref :160-171) + joint Adam update over
+     D_A/D_R/D_S (one optimizer chain, ref :121).
+
+G loss terms and weights (ref :190-270):
+  GAN (conditional, cat(hazy, img)) x0.0618/branch; VGG x2*lambda_vgg/branch;
+  gradient MSE x2/branch; L1 ("L2") x2/branch; (1-SSIM) x3/branch;
+  IDMRF x0.06 (dehazed only); semantic consistency x2 (dehazed only).
+  S is expanded 1->3 channels first (ref :147-155).
+
+TPU-first deltas: the ImagePool is a device-side ring buffer updated inside
+the jit with jax PRNG (equivalent sampling semantics to util/image_pool.py:
+5-32 — per-image: fill while below capacity, else p=0.5 swap-with-random-
+slot); Adam moments + LR are part of the checkpointable state; the whole
+step is one XLA program, data-parallel over the mesh with psum-reduced
+grads inserted by the compiler.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import replace
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..losses.gan import gan_loss
+from ..losses.vgg import (vgg19_init, vgg_perceptual_loss,
+                          semantic_consistency_loss, idmrf_loss)
+from ..models.discriminator import define_d, apply_d
+from ..models.generator import generator_forward, generator_init
+from ..models.registry import generator_spec
+from ..ops.gradient import color_gradient
+from ..ops.ssim import ssim
+from ..parallel.mesh import make_mesh, shard_batch, replicate
+from .checkpoint import save_net, load_net, save_train_state, load_train_state
+from .schedule import lr_for_epoch
+
+_MODEL_DEFAULT_G = {
+    "decr_vit": "iidr_hlgvit_crs_gd4",
+    "decs_vit": "iids_hlgvit_crs_gd4",
+    "decn_vit": "iidn_hlgvit_crs_gd4",
+}
+
+
+# --------------------------------------------------------------------------
+# device-side ImagePool
+# --------------------------------------------------------------------------
+
+def pool_init(pool_size: int, shape) -> Dict:
+    return {"buf": jnp.zeros((pool_size,) + tuple(shape), jnp.float32),
+            "n": jnp.zeros((), jnp.int32)}
+
+
+def pool_query(pool: Dict, images, rng):
+    """Sequential per-image semantics of util/image_pool.py:12-31."""
+    size = pool["buf"].shape[0]
+    if size == 0:
+        return pool, images
+
+    def body(carry, inp):
+        buf, n, key = carry
+        img, = inp
+        key, k1, k2 = jax.random.split(key, 3)
+        below = n < size
+        store_idx = jnp.minimum(n, size - 1)
+        buf_filled = jax.lax.dynamic_update_index_in_dim(
+            buf, img, store_idx, 0)
+        p = jax.random.uniform(k1)
+        rid = jax.random.randint(k2, (), 0, size)
+        old = jax.lax.dynamic_index_in_dim(buf, rid, 0, keepdims=False)
+        buf_swapped = jax.lax.dynamic_update_index_in_dim(buf, img, rid, 0)
+        swap = p > 0.5
+        new_buf = jnp.where(below, buf_filled,
+                            jnp.where(swap, buf_swapped, buf))
+        out = jnp.where(below, img, jnp.where(swap, old, img))
+        new_n = jnp.where(below, n + 1, n)
+        return (new_buf, new_n, key), out
+
+    (buf, n, _), outs = jax.lax.scan(
+        body, (pool["buf"], pool["n"], rng), (images,))
+    return {"buf": buf, "n": n}, outs
+
+
+# --------------------------------------------------------------------------
+# trainer
+# --------------------------------------------------------------------------
+
+class GanTrainer:
+    """Reference-wrapper-shaped trainer: set_input / optimize_parameters /
+    get_current_losses / get_current_visuals / save_networks /
+    update_learning_rate."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        g_name = _MODEL_DEFAULT_G.get(cfg.model) or cfg.model_G
+        self.spec = generator_spec(g_name, cfg)
+        self.branches = {"d": "A"}
+        if "r" in self.spec.branches:
+            self.branches["r"] = "R"
+        if "s" in self.spec.branches:
+            self.branches["s"] = "S"
+        if cfg.mesh_shape:
+            self.mesh = make_mesh(cfg.mesh_shape)
+        else:
+            # data axis must divide the global batch; use the largest
+            # divisor of batchSize that fits the device count
+            nd = len(jax.devices())
+            d = max(k for k in range(1, nd + 1) if cfg.batchSize % k == 0)
+            self.mesh = make_mesh(str(d))
+        self.use_lsgan = not cfg.no_lsgan
+        self.adam = optax.scale_by_adam(b1=cfg.beta1, b2=0.999, eps=1e-8)
+        self.state = None
+        self.epoch = cfg.epoch_count
+        self.lr = lr_for_epoch(cfg, 0)
+        self._step_fn = None
+        self._losses: Dict[str, float] = {}
+        self._visuals: Dict[str, np.ndarray] = {}
+        self.image_paths = []
+        self._batch = None
+
+    # -- state setup --------------------------------------------------------
+    def init_state(self, batch: Dict, seed: int = 0):
+        cfg = self.cfg
+        key = jax.random.PRNGKey(seed)
+        kg, kd, kp = jax.random.split(key, 3)
+        g = generator_init(kg, self.spec)
+        # data-dependent ActNorm init from the first batch (ref
+        # models/actnorm.py:25-37 initializes on first forward)
+        x = jnp.asarray(batch["B"])
+        _, g = jax.jit(lambda p, xx: generator_forward(
+            p, self.spec, xx, actnorm_init=True))(g, x)
+        d = {name: define_d(jax.random.fold_in(kd, i), cfg)
+             for i, name in enumerate(self.branches.values())}
+        img_shape = tuple(x.shape[1:])
+        pools = {name: pool_init(cfg.pool_size, img_shape)
+                 for name in self.branches.values()}
+        state = {
+            "g": g, "d": d,
+            "g_opt": self.adam.init(g), "d_opt": self.adam.init(d),
+            "pools": pools, "rng": kp,
+            "step": jnp.zeros((), jnp.int32),
+        }
+        self.state = replicate(self.mesh, state)
+        self.vgg = replicate(self.mesh, vgg19_init())
+        return self.state
+
+    def setup(self, cfg=None):
+        cfg = cfg or self.cfg
+        self._resume = None
+        if cfg.continue_train:
+            # pools are intentionally not checkpointed (the reference never
+            # persists its ImagePool either); they refill within 50 steps.
+            self._resume = load_train_state(cfg, cfg.which_epoch)
+
+    # -- loss functions ------------------------------------------------------
+    def _expand_s(self, s):
+        return jnp.tile(s, (1, 1, 1, 3)) if s.shape[-1] == 1 else s
+
+    def _g_loss(self, g, d, vgg, batch):
+        cfg = self.cfg
+        out = generator_forward(g, self.spec, batch["B"])
+        fakes, reals = {}, {}
+        fakes["A"] = out["d"]
+        reals["A"] = batch["A"]
+        if "r" in out:
+            fakes["R"], reals["R"] = out["r"], batch["R"]
+        if "s" in out:
+            fakes["S"] = self._expand_s(out["s"])
+            reals["S"] = self._expand_s(batch["S"])
+        losses = {}
+        hazy = batch["B"]
+        for name, fake in fakes.items():
+            real = reals[name]
+            lk = name.lower()
+            pred = apply_d(cfg, d[name], jnp.concatenate([hazy, fake], -1))
+            losses[f"GAN_{lk}"] = gan_loss(pred, True, self.use_lsgan) * 0.0618
+            losses[f"vgg_{lk}"] = (vgg_perceptual_loss(vgg, fake, real)
+                                   * cfg.lambda_vgg * 2)
+            losses[f"gradient_fake_{lk}"] = jnp.mean(jnp.square(
+                color_gradient(real) - color_gradient(fake))) * 2
+            losses[f"L2_{lk}"] = jnp.mean(jnp.abs(real - fake)) * 2
+            losses[f"ssim_{lk}"] = (1.0 - ssim(real, fake)) * 3
+        losses["p"] = idmrf_loss(vgg, fakes["A"], reals["A"]) * 0.06
+        losses["s"] = semantic_consistency_loss(
+            vgg, fakes["A"], reals["A"]) * 2
+        total = sum(losses.values())
+        losses["G"] = total
+        return total, (losses, fakes, reals)
+
+    def _d_loss(self, d, batch, pooled, reals):
+        cfg = self.cfg
+        hazy = batch["B"]
+        losses = {}
+        total = 0.0
+        for name, fake in pooled.items():
+            real_cat = jnp.concatenate([hazy, reals[name]], -1)
+            fake_cat = jnp.concatenate([hazy,
+                                        jax.lax.stop_gradient(fake)], -1)
+            l_real = gan_loss(apply_d(cfg, d[name], real_cat), True,
+                              self.use_lsgan)
+            l_fake = gan_loss(apply_d(cfg, d[name], fake_cat), False,
+                              self.use_lsgan)
+            losses[f"D{name}"] = (l_real + l_fake) * 0.5
+            total = total + losses[f"D{name}"]
+        return total, losses
+
+    # -- the jitted step -----------------------------------------------------
+    def _make_step(self):
+        adam = self.adam
+
+        def step(state, batch, vgg, lr):
+            rng, rng_pool = jax.random.split(state["rng"])
+            # 1. G update
+            (gl, (losses, fakes, reals)), grads = jax.value_and_grad(
+                self._g_loss, has_aux=True)(
+                state["g"], state["d"], vgg, batch)
+            up, g_opt = adam.update(grads, state["g_opt"], state["g"])
+            up = jax.tree_util.tree_map(lambda u: -lr * u, up)
+            g = optax.apply_updates(state["g"], up)
+
+            # 2. pools (pre-update fakes, ref :173-187)
+            pools, pooled = {}, {}
+            for i, name in enumerate(fakes):
+                pools[name], pooled[name] = pool_query(
+                    state["pools"][name], fakes[name],
+                    jax.random.fold_in(rng_pool, i))
+
+            # 3. D update
+            (dl, d_losses), d_grads = jax.value_and_grad(
+                self._d_loss, has_aux=True)(
+                state["d"], batch, pooled, reals)
+            dup, d_opt = adam.update(d_grads, state["d_opt"], state["d"])
+            dup = jax.tree_util.tree_map(lambda u: -lr * u, dup)
+            d = optax.apply_updates(state["d"], dup)
+
+            losses.update(d_losses)
+            new_state = {"g": g, "d": d, "g_opt": g_opt, "d_opt": d_opt,
+                         "pools": pools, "rng": rng,
+                         "step": state["step"] + 1}
+            return new_state, losses, fakes
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    # -- reference-wrapper API ------------------------------------------------
+    def set_input(self, batch: Dict):
+        arrays = {k: v for k, v in batch.items()
+                  if isinstance(v, np.ndarray)}
+        self._batch = shard_batch(self.mesh, arrays)
+        self.image_paths = batch.get("B_paths", [])
+
+    def optimize_parameters(self, cfg=None):
+        if self.state is None:
+            self.init_state({k: np.asarray(v) for k, v in
+                             self._batch.items()})
+            if getattr(self, "_resume", None):
+                from flax import serialization as _ser
+                keys = ("g", "d", "g_opt", "d_opt", "rng", "step")
+                template = {k: self.state[k] for k in keys}
+                restored = _ser.from_state_dict(template, self._resume)
+                merged = dict(self.state)
+                merged.update(replicate(self.mesh, restored))
+                self.state = merged
+                self._resume = None
+        if self._step_fn is None:
+            self._step_fn = self._make_step()
+        self.state, losses, fakes = self._step_fn(
+            self.state, self._batch, self.vgg,
+            jnp.asarray(self.lr, jnp.float32))
+        self._losses = losses
+        self._fakes = fakes
+
+    def get_current_losses(self) -> Dict[str, float]:
+        return {k: float(v) for k, v in self._losses.items()}
+
+    def get_current_visuals(self) -> Dict[str, np.ndarray]:
+        vis = {"real_B": np.asarray(self._batch["B"])}
+        names = {"A": "fake_A", "R": "fake_R", "S": "fake_S"}
+        for k, fake in self._fakes.items():
+            vis[names[k]] = np.asarray(fake)
+            rk = {"A": "A", "R": "R", "S": "S"}[k]
+            if rk in self._batch:
+                vis[f"real_{k}"] = np.asarray(self._batch[rk])
+        return vis
+
+    def get_image_paths(self):
+        return self.image_paths
+
+    def save_networks(self, epoch):
+        save_net(self.cfg, epoch, "G", self.state["g"])
+        for name, dp in self.state["d"].items():
+            save_net(self.cfg, epoch, f"D_{name}", dp)
+        save_train_state(self.cfg, str(epoch), {
+            k: self.state[k] for k in
+            ("g", "d", "g_opt", "d_opt", "rng", "step")})
+
+    def update_learning_rate(self):
+        self.epoch += 1
+        old = self.lr
+        self.lr = lr_for_epoch(self.cfg, self.epoch - self.cfg.epoch_count)
+        print(f"learning rate = {self.lr:.7f} (was {old:.7f})")

@@ -1,0 +1,113 @@
+"""Training smoke tests: one jitted GAN step end-to-end on tiny geometry.
+
+Checks the full 7-term G loss + 3-discriminator D loss step runs, losses
+are finite, params actually change, checkpoints round-trip, and the
+device-side ImagePool honours the reference's sampling semantics.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def _tiny_cfg(tmp_path, **kw):
+    from cfen_vit_tpu.config import Config
+    base = dict(dataroot=str(tmp_path), name="t", isTrain=True,
+                checkpoints_dir=str(tmp_path / "ckpt"),
+                n_feats=8, loadSize=64, patch_size=8, num_heads=2,
+                hidden_dim_ratio=2, batchSize=2, pool_size=4, sb=True)
+    base.update(kw)
+    return Config(**base)
+
+
+def _batch(rng, n=2, size=128):
+    return {
+        "B": rng.rand(n, size, size, 3).astype(np.float32) * 2 - 1,
+        "A": rng.rand(n, size, size, 3).astype(np.float32) * 2 - 1,
+        "R": rng.rand(n, size, size, 3).astype(np.float32) * 2 - 1,
+        "S": rng.rand(n, size, size, 1).astype(np.float32) * 2 - 1,
+        "B_paths": [f"x{i}.png" for i in range(n)],
+    }
+
+
+@pytest.mark.slow
+def test_train_step_runs_and_updates(rng, tmp_path):
+    import jax
+    from cfen_vit_tpu.train.trainer import GanTrainer
+
+    cfg = _tiny_cfg(tmp_path)
+    tr = GanTrainer(cfg)
+    tr.setup(cfg)
+    batch = _batch(rng)
+    tr.set_input(batch)
+    tr.optimize_parameters(cfg)
+    g0 = jax.tree_util.tree_map(np.asarray, tr.state["g"])
+    losses1 = tr.get_current_losses()
+    assert all(np.isfinite(v) for v in losses1.values()), losses1
+    expected = {"G", "GAN_a", "GAN_r", "GAN_s", "vgg_a", "vgg_r", "vgg_s",
+                "L2_a", "L2_r", "L2_s", "gradient_fake_a", "gradient_fake_r",
+                "gradient_fake_s", "ssim_a", "ssim_r", "ssim_s", "p", "s",
+                "DA", "DR", "DS"}
+    assert expected <= set(losses1), set(losses1)
+
+    tr.set_input(_batch(rng))
+    tr.optimize_parameters(cfg)
+    g1 = tr.state["g"]
+    moved = np.abs(np.asarray(g1["head"]["conv"]["w"])
+                   - g0["head"]["conv"]["w"]).max()
+    assert moved > 0, "G params did not update"
+
+    vis = tr.get_current_visuals()
+    assert {"real_B", "fake_A", "fake_R", "fake_S", "real_A"} <= set(vis)
+
+    tr.save_networks(1)
+    d = os.path.join(cfg.checkpoints_dir, cfg.name)
+    assert os.path.exists(os.path.join(d, "1_net_G.msgpack"))
+    assert os.path.exists(os.path.join(d, "1_net_D_A.msgpack"))
+
+    # lr schedule steps like the reference lambda rule
+    lr0 = tr.lr
+    tr.update_learning_rate()
+    assert tr.lr <= lr0
+
+
+def test_image_pool_semantics(rng):
+    """Below capacity the pool returns the input and stores it; at capacity
+    it returns either the input or a swapped-out buffer entry."""
+    import jax
+    import jax.numpy as jnp
+    from cfen_vit_tpu.train.trainer import pool_init, pool_query
+
+    imgs = jnp.asarray(rng.randn(3, 4, 4, 1).astype(np.float32))
+    pool = pool_init(4, (4, 4, 1))
+    key = jax.random.PRNGKey(0)
+    pool, out = pool_query(pool, imgs, key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(imgs))
+    assert int(pool["n"]) == 3
+    np.testing.assert_allclose(np.asarray(pool["buf"][:3]),
+                               np.asarray(imgs))
+
+    # fill to capacity, then query: each output is input or a buffer entry
+    more = jnp.asarray(rng.randn(3, 4, 4, 1).astype(np.float32))
+    pool, _ = pool_query(pool, more, jax.random.PRNGKey(1))
+    assert int(pool["n"]) == 4
+    buf_before = np.asarray(pool["buf"])
+    probe = jnp.asarray(rng.randn(2, 4, 4, 1).astype(np.float32))
+    pool, out = pool_query(pool, probe, jax.random.PRNGKey(2))
+    for i in range(2):
+        o = np.asarray(out[i])
+        candidates = [np.asarray(probe[i])] + list(buf_before)
+        assert any(np.allclose(o, c) for c in candidates)
+
+
+def test_lr_schedule_matches_reference_lambda():
+    from cfen_vit_tpu.train.schedule import lr_for_epoch
+    from cfen_vit_tpu.config import Config
+    cfg = Config(lr=1e-4, niter=100, niter_decay=200, epoch_count=1)
+    # flat for the first niter epochs
+    assert lr_for_epoch(cfg, 0) == pytest.approx(1e-4)
+    assert lr_for_epoch(cfg, 98) == pytest.approx(1e-4)
+    # linear decay afterwards, hitting ~0 at the end
+    assert lr_for_epoch(cfg, 99) < 1e-4
+    assert lr_for_epoch(cfg, 299) == pytest.approx(0.0, abs=1e-12)
