@@ -1,0 +1,83 @@
+"""Benchmark: flagship 512x512 dehazing throughput (images/sec/chip).
+
+Runs the canonical iid_hlgvit_crs_gd4_cfs_v3 generator (README eval
+geometry: n_feats=24, hidden_dim_ratio=4, 512x512 inputs) as one
+jit-compiled program and reports steady-state img/s on the current device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is the speedup over the PyTorch reference running the same
+forward on this container's CPU: 0.1666 img/s, measured via
+networks_iid_hlgvit_crs_gd4_cfs_v3.define_G + eval() + no_grad on
+torch-2.13-cpu (warm 11.4s, steady ~6.0s/img; see BASELINE.md).
+
+Usage: python bench.py [--batch 4] [--iters 20] [--dtype bfloat16|float32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+TORCH_CPU_BASELINE_IMG_S = 0.1666
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    ap.add_argument("--size", type=int, default=512)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dataclasses import replace
+    from cfen_vit_tpu.models.registry import generator_spec
+    from cfen_vit_tpu.models.generator import (generator_init,
+                                               generator_forward)
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    spec = replace(generator_spec("iid_hlgvit_crs_gd4_cfs_v3"),
+                   n_feats=24, hidden_dim_ratio=4,
+                   load_size=args.size // 2, patch_size=args.size // 16,
+                   num_heads=4)
+    params = generator_init(jax.random.PRNGKey(0), spec)
+    if dtype == jnp.bfloat16:
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, params)
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(args.batch, args.size, args.size, 3)
+        * 2 - 1, dtype)
+
+    fwd = jax.jit(lambda p, xx: generator_forward(p, spec, xx))
+    t0 = time.time()
+    out = fwd(params, x)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    # steady state
+    t0 = time.time()
+    for _ in range(args.iters):
+        out = fwd(params, x)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    img_s = args.batch * args.iters / dt
+
+    print(json.dumps({
+        "metric": "512x512_dehaze_images_per_sec_per_chip",
+        "value": round(img_s, 4),
+        "unit": "img/s",
+        "vs_baseline": round(img_s / TORCH_CPU_BASELINE_IMG_S, 2),
+    }))
+    print(f"# device={jax.devices()[0].device_kind} batch={args.batch} "
+          f"dtype={args.dtype} compile={compile_s:.1f}s "
+          f"steady={dt / args.iters * 1000:.1f}ms/step", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
