@@ -125,9 +125,10 @@ def import_generator_state_dict(sd, spec: GenSpec):
         p["ds_e01"] = {"conv": _conv(sd, "ds_conv_e01.0")}
 
     def vit_in(prefix, lvl, encoder, local):
-        del lvl, encoder, local  # head counts are static, carried by the spec
+        del lvl, encoder  # head counts are static, carried by the spec
+        shrink = spec.shrink if local else 1   # v5 shrinks LViT only
         return _vit(sd, prefix, spec.num_layers, spec.no_mlp, spec.no_pos,
-                    spec.shrink)
+                    shrink)
 
     for lvl in (1, 2, 3):
         if lvl > 1:
@@ -139,37 +140,51 @@ def import_generator_state_dict(sd, spec: GenSpec):
             p[f"gvit_e0{lvl}"] = vit_in(f"globalvit_encoder_0{lvl}", lvl,
                                         True, False)
         if spec.use_local and spec.use_global and spec.fusion == "cat":
-            p[f"lgcat_e0{lvl}"] = {
-                "conv": _conv(sd, f"lgcat_conv_e0{lvl}.0"),
-                "an": _actnorm(sd, f"lgcat_conv_e0{lvl}.1")}
+            p[f"lgcat_e0{lvl}"] = {"conv": _conv(sd, f"lgcat_conv_e0{lvl}.0")}
+            if spec.lgcat_norm == "actnorm":
+                p[f"lgcat_e0{lvl}"]["an"] = _actnorm(
+                    sd, f"lgcat_conv_e0{lvl}.1")
 
+    # single-decoder files name their decoder ViTs without a branch suffix
+    # (ipt.py:134-168; networks_iidn_* constructs `localvit_decoder_03` but
+    # its forward calls the undefined `..._03d` — a reference defect; we map
+    # from the constructed names)
+    plain_suffix = spec.ipt_style or spec.branches == "d"
     for b in spec.branches:
+        sfx = "" if plain_suffix else b
         for lvl in (3, 2, 1):
             if spec.use_local:
-                p[f"lvit_d0{lvl}{b}"] = vit_in(f"localvit_decoder_0{lvl}{b}",
-                                               lvl, False, True)
+                p[f"lvit_d0{lvl}{b}"] = vit_in(
+                    f"localvit_decoder_0{lvl}{sfx}", lvl, False, True)
             if spec.use_global:
-                p[f"gvit_d0{lvl}{b}"] = vit_in(f"globalvit_decoder_0{lvl}{b}",
-                                               lvl, False, False)
+                p[f"gvit_d0{lvl}{b}"] = vit_in(
+                    f"globalvit_decoder_0{lvl}{sfx}", lvl, False, False)
             if spec.use_local and spec.use_global and spec.fusion == "cat":
                 p[f"lgcat_d0{lvl}{b}"] = {
-                    "conv": _conv(sd, f"lgcat_conv_d0{lvl}{b}.0"),
-                    "an": _actnorm(sd, f"lgcat_conv_d0{lvl}{b}.1")}
+                    "conv": _conv(sd, f"lgcat_conv_d0{lvl}{b}.0")}
+                if spec.lgcat_norm == "actnorm":
+                    p[f"lgcat_d0{lvl}{b}"]["an"] = _actnorm(
+                        sd, f"lgcat_conv_d0{lvl}{b}.1")
+        if spec.ipt_style:
+            # ipt.py names its decoder transpose-convs us_conv_e03/e02
+            # (ref ipt.py:189-192), both InstanceNorm
+            p[f"us_d03{b}"] = {"conv": _convT(sd, "us_conv_e03.0")}
+            p[f"us_d02{b}"] = {"conv": _convT(sd, "us_conv_e02.0")}
+            continue
         p[f"us_d03{b}"] = {"conv": _convT(sd, f"us_conv_d03{b}.0")}
         p[f"us_d02{b}"] = {"conv": _convT(sd, f"us_conv_d02{b}.0"),
                            "an": _actnorm(sd, f"us_conv_d02{b}.1")}
         if spec.half_res_trunk:
             p[f"us_d01{b}"] = {"conv": _convT(sd, f"us_conv_d01{b}.0"),
                                "an": _actnorm(sd, f"us_conv_d01{b}.1")}
-        if b in "rs" or spec.d_skip == "enc":
-            p[f"sk_d03{b}"] = {"conv": _conv(sd, f"sk_conv_d03{b}.0"),
+        if spec.d_skip == "res":
+            pass
+        elif (b in "rs" or spec.d_skip == "enc"
+              or spec.d_skip == "cat3"):
+            sk = _convT if spec.sk_conv_transposed else _conv
+            p[f"sk_d03{b}"] = {"conv": sk(sd, f"sk_conv_d03{b}.0"),
                                "an": _actnorm(sd, f"sk_conv_d03{b}.1")}
-            p[f"sk_d02{b}"] = {"conv": _conv(sd, f"sk_conv_d02{b}.0"),
-                               "an": _actnorm(sd, f"sk_conv_d02{b}.1")}
-        elif spec.d_skip == "cat3":
-            p[f"sk_d03{b}"] = {"conv": _conv(sd, f"sk_conv_d03{b}.0"),
-                               "an": _actnorm(sd, f"sk_conv_d03{b}.1")}
-            p[f"sk_d02{b}"] = {"conv": _conv(sd, f"sk_conv_d02{b}.0"),
+            p[f"sk_d02{b}"] = {"conv": sk(sd, f"sk_conv_d02{b}.0"),
                                "an": _actnorm(sd, f"sk_conv_d02{b}.1")}
         elif spec.d_skip == "cat_partner":
             # 1x1 ConvTranspose2d with stride 1: conv with [I,O,1,1] weight
@@ -181,9 +196,11 @@ def import_generator_state_dict(sd, spec: GenSpec):
 
     # tails: cfs-family files name them tail_R/tail_S/tail_D; the non-cfs
     # files use tail_color (shared R/D) and tail_gray (S).
-    def tail(prefix, has_an):
+    # tail Sequential layouts: with ActNorm or InstanceNorm at idx 2 the
+    # final conv7 sits at idx 5; the S tail has no norm so it sits at idx 4.
+    def tail(prefix, has_an, has_norm_slot):
         t = {"conv1": _conv(sd, f"{prefix}.1"),
-             "conv2": _conv(sd, f"{prefix}.{5 if has_an else 4}")}
+             "conv2": _conv(sd, f"{prefix}.{5 if has_norm_slot else 4}")}
         if has_an:
             t["an"] = _actnorm(sd, f"{prefix}.2")
         return t
@@ -191,9 +208,37 @@ def import_generator_state_dict(sd, spec: GenSpec):
     for b in spec.branches:
         if spec.shared_tails and b == "d" and "r" in spec.branches:
             continue
-        if spec.shared_tails:
+        if spec.ipt_style:
+            name = "tail"
+        elif spec.shared_tails or spec.branches == "d":
             name = "tail_gray" if b == "s" else "tail_color"
         else:
             name = {"r": "tail_R", "s": "tail_S", "d": "tail_D"}[b]
-        p[f"tail_{b}"] = tail(f"{name}.0", has_an=(b != "s"))
+        has_norm_slot = (b != "s") or spec.s_tail_norm
+        p[f"tail_{b}"] = tail(
+            f"{name}.0",
+            has_an=(has_norm_slot and spec.tail_norm == "actnorm"),
+            has_norm_slot=has_norm_slot)
+    if spec.xdh:
+        sp = {}
+        for k in ("refine1", "refine2", "conv1010", "conv1020", "conv1030",
+                  "conv1040", "conv1050"):
+            sp[k] = _conv(sd, f"sp.{k}")
+        sp["refine3"] = _conv(sd, "sp.refine3.0")
+        p["sp"] = sp
+    if spec.cnn:
+        def resblocks(prefix, lvl):
+            blocks = []
+            for i in range(2):
+                blocks.append({
+                    "c1": _conv(sd, f"{prefix}.{i}.conv_block.1"),
+                    "an1": _actnorm(sd, f"{prefix}.{i}.conv_block.2"),
+                    "c2": _conv(sd, f"{prefix}.{i}.conv_block.5"),
+                    "an2": _actnorm(sd, f"{prefix}.{i}.conv_block.6"),
+                })
+            return blocks
+        for lvl in (1, 2, 3):
+            p[f"cnn_e0{lvl}"] = resblocks(f"encoder_0{lvl}", lvl)
+            for b in spec.branches:
+                p[f"cnn_d0{lvl}{b}"] = resblocks(f"decoder_0{lvl}{b}", lvl)
     return p

@@ -34,11 +34,12 @@ _MODEL_DEFAULT_G = {
     "decr_vit": "iidr_hlgvit_crs_gd4",
     "decs_vit": "iids_hlgvit_crs_gd4",
     "decn_vit": "iidn_hlgvit_crs_gd4",
+    "vit": "ipt",
     "test": None,
 }
 
 # branch -> reference visual name
-_VISUAL = {"d": "fake_A", "r": "fake_R", "s": "fake_S"}
+_VISUAL = {"d": "fake_A", "r": "fake_R", "s": "fake_S", "dh": "fake_A_refined"}
 
 
 class DehazingModel:

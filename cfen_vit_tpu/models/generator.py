@@ -71,7 +71,28 @@ class GenSpec:
     shrink: int = 1               # v5: 4 (channel bottleneck inside ViTs)
     global_pools: int = 2         # gd4: 2 (4x), gd2: 1 (2x)
     shared_tails: bool = False    # no-cfs gd4: one tail for R and D
-    lgcat_norm: str = "actnorm"   # 'actnorm' | 'instance' (add-variant)
+    lgcat_norm: str = "actnorm"   # 'actnorm' | 'instance' (iidr/iids)
+    ds_norm: str = "instance"     # down-scale conv norm; 'actnorm' in cnn
+    cnn: bool = False             # iid_cnn_crs: ResnetBlocks instead of ViTs
+    xdh: bool = False             # iidr/iids: SpatialPyramid refined output
+    ipt_style: bool = False       # models/ipt.py (--model vit): add fusion,
+                                  # plain residual decoder skips, IN tail,
+                                  # no +xf before the tail (ref ipt.py:
+                                  # 151-296)
+    # tail norm varies per variant file: v3/v5/cfs/gd4/cnn use ActNorm on the
+    # color tails and none on the 1-channel S tail; lvit/gvit/vit/iidn use
+    # ActNorm on ALL tails; add/gd2/iidr/iids (and ipt) use InstanceNorm
+    tail_norm: str = "actnorm"    # 'actnorm' | 'instance'
+    s_tail_norm: bool = False     # S tail has the norm too
+    # lvit/gvit/vit files declare their 1x1 sk convs as ConvTranspose2d
+    # (compute-identical; weight layout differs only for the importer)
+    sk_conv_transposed: bool = False
+    # lvit/gvit/vit/add/gd2/cnn reference files contain a silent typo: the
+    # D decoder's level-2 upsample consumes s_d_02 (the S branch's level-2
+    # features) instead of d_d_02 (e.g. networks_iid_lvit_crs_gd4.py:791).
+    # It does not crash, so trained checkpoints bake it in — reproduced for
+    # weight-for-weight parity.
+    d02_us_from_s: bool = False
     # transformer flags (CLI surface parity)
     no_norm: bool = False
     no_mlp: bool = False
@@ -111,15 +132,17 @@ class GenSpec:
             # with patch_dim instead of 2*patch_dim (ref v3:200) — kept for
             # checkpoint compatibility.
             hidden = c * self.patch_dim ** 2 * self.hidden_dim_ratio
+        # v5's /4 bottleneck applies to LViT only; its GViT is unchanged
+        # (ref networks_iid_hlgvit_crs_gd4_cfs_v5.py GViT class)
         return ViTSpec(
             img_dim=self.level_size(lvl) >> self.global_pools,
-            patch_dim=pd, num_channels=c, embedding_dim=e // self.shrink,
+            patch_dim=pd, num_channels=c, embedding_dim=e,
             num_heads=self.num_heads * (1 << (lvl - 1)),
             num_layers=self.num_layers,
-            hidden_dim=hidden // self.shrink,
+            hidden_dim=hidden,
             no_norm=self.no_norm, no_mlp=self.no_mlp,
             pos_every=self.pos_every, no_pos=self.no_pos,
-            global_pools=self.global_pools, shrink=self.shrink)
+            global_pools=self.global_pools, shrink=1)
 
 
 # --------------------------------------------------------------------------
@@ -184,41 +207,72 @@ def generator_init(key, spec: GenSpec):
     if spec.half_res_trunk:
         p["ds_e01"] = {"conv": N.conv_init(nxt(), 3, 3, c0, nf)}
 
+    def level_blocks(lvl):
+        """iid_cnn_crs: 2 ResnetBlocks per level instead of ViT branches
+        (ref networks_iid_cnn_crs.py:126-146; the reference file's
+        ResnetBlock construction crashes on an undefined `padding_type` —
+        we implement the intended reflect-padded conv/ActNorm/ReLU blocks)."""
+        c = spec.level_channels(lvl)
+        return [{"c1": N.conv_init(nxt(), 3, 3, c, c),
+                 "an1": N.actnorm_init(c),
+                 "c2": N.conv_init(nxt(), 3, 3, c, c),
+                 "an2": N.actnorm_init(c)} for _ in range(2)]
+
     # encoder
     for lvl in (1, 2, 3):
         c = spec.level_channels(lvl)
         if lvl > 1:
             p[f"ds_e0{lvl}"] = {"conv": N.conv_init(nxt(), 3, 3, c // 2, c)}
+            if spec.ds_norm == "actnorm":
+                p[f"ds_e0{lvl}"]["an"] = N.actnorm_init(c)
+        if spec.cnn:
+            p[f"cnn_e0{lvl}"] = level_blocks(lvl)
+            continue
         if spec.use_local:
             p[f"lvit_e0{lvl}"] = vit_init(nxt(), spec.lvit_spec(lvl))
         if spec.use_global:
             p[f"gvit_e0{lvl}"] = vit_init(nxt(), spec.gvit_spec(lvl, True))
         if spec.use_local and spec.use_global and spec.fusion == "cat":
-            p[f"lgcat_e0{lvl}"] = _can(nxt(), 1, 1, 2 * c, c)
+            if spec.lgcat_norm == "actnorm":
+                p[f"lgcat_e0{lvl}"] = _can(nxt(), 1, 1, 2 * c, c)
+            else:
+                p[f"lgcat_e0{lvl}"] = {"conv": N.conv_init(nxt(), 1, 1,
+                                                           2 * c, c)}
 
     # decoders
     for b in spec.branches:
         for lvl in (3, 2, 1):
             c = spec.level_channels(lvl)
+            if spec.cnn:
+                p[f"cnn_d0{lvl}{b}"] = level_blocks(lvl)
+                continue
             if spec.use_local:
                 p[f"lvit_d0{lvl}{b}"] = vit_init(nxt(), spec.lvit_spec(lvl))
             if spec.use_global:
                 p[f"gvit_d0{lvl}{b}"] = vit_init(nxt(),
                                                  spec.gvit_spec(lvl, False))
             if spec.use_local and spec.use_global and spec.fusion == "cat":
-                p[f"lgcat_d0{lvl}{b}"] = _can(nxt(), 1, 1, 2 * c, c)
+                if spec.lgcat_norm == "actnorm":
+                    p[f"lgcat_d0{lvl}{b}"] = _can(nxt(), 1, 1, 2 * c, c)
+                else:
+                    p[f"lgcat_d0{lvl}{b}"] = {"conv": N.conv_init(
+                        nxt(), 1, 1, 2 * c, c)}
         # upsample convs (ref :301-322); d03: InstanceNorm, d02/d01: ActNorm
+        # (ipt-style uses InstanceNorm for both, ref ipt.py:189-192)
         p[f"us_d03{b}"] = {"conv": N.conv_transpose_init(nxt(), 4, 4,
                                                          4 * nf, 2 * nf)}
         p[f"us_d02{b}"] = {"conv": N.conv_transpose_init(nxt(), 4, 4,
-                                                         2 * nf, nf),
-                           "an": N.actnorm_init(nf)}
+                                                         2 * nf, nf)}
+        if not spec.ipt_style:
+            p[f"us_d02{b}"]["an"] = N.actnorm_init(nf)
         if spec.half_res_trunk:
             p[f"us_d01{b}"] = {"conv": N.conv_transpose_init(nxt(), 4, 4,
                                                              nf, nf // 2),
                                "an": N.actnorm_init(nf // 2)}
         # skip fusion
-        if b in "rs" or spec.d_skip == "enc":
+        if spec.d_skip == "res":
+            pass  # ipt-style: plain residual with encoder features, no params
+        elif b in "rs" or spec.d_skip == "enc":
             p[f"sk_d03{b}"] = _can(nxt(), 1, 1, 4 * nf, 2 * nf)
             p[f"sk_d02{b}"] = _can(nxt(), 1, 1, 2 * nf, nf)
         elif spec.d_skip == "cat3":
@@ -242,10 +296,74 @@ def generator_init(key, spec: GenSpec):
         out_c = 1 if b == "s" else spec.n_colors
         tail = {"conv1": N.conv_init(nxt(), 3, 3, ct, ct),
                 "conv2": N.conv_init(nxt(), 7, 7, ct, out_c)}
-        if b != "s":
+        if (b != "s" or spec.s_tail_norm) and spec.tail_norm == "actnorm":
             tail["an"] = N.actnorm_init(ct)
         p[f"tail_{b}"] = tail
+
+    if spec.xdh:
+        # 3 (input) + per-branch output channels (iidr: 3+3+3=9 matching
+        # the reference refine1; iids: 3+1+3=7 — the reference hardcodes 9
+        # and crashes, we size it consistently)
+        in_ch = 3 + sum(1 if b == "s" else spec.n_colors
+                        for b in spec.branches)
+        p["sp"] = spatial_pyramid_init(nxt(), in_ch)
     return p
+
+
+def spatial_pyramid_init(key, in_ch: int):
+    """SpatialPyramid refiner (ref networks_iidr_hlgvit_crs_gd4.py:1227-1275)
+    == the EPDN 'Dehaze' enhancer block (epdn/epdn_networks.py:313-357):
+    two 3x3 convs to 32ch, 5 avg-pool scales (32/16/8/4/2) -> 1x1 conv to
+    16ch each -> bilinear(align_corners=True) back -> concat -> 3x3 conv to
+    RGB + tanh."""
+    ks = jax.random.split(key, 8)
+    return {
+        "refine1": N.conv_init(ks[0], 3, 3, in_ch, 32),
+        "refine2": N.conv_init(ks[1], 3, 3, 32, 32),
+        "conv1010": N.conv_init(ks[2], 1, 1, 32, 16),
+        "conv1020": N.conv_init(ks[3], 1, 1, 32, 16),
+        "conv1030": N.conv_init(ks[4], 1, 1, 32, 16),
+        "conv1040": N.conv_init(ks[5], 1, 1, 32, 16),
+        "conv1050": N.conv_init(ks[6], 1, 1, 32, 16),
+        "refine3": N.conv_init(ks[7], 3, 3, 32 + 5 * 16, 3),
+    }
+
+
+def _resize_align_corners(x, h, w):
+    """Bilinear resize with align_corners=True (torch F.upsample_bilinear)."""
+    import jax.image
+    n, ih, iw, c = x.shape
+    if ih == 1 and iw == 1:
+        return jnp.broadcast_to(x, (n, h, w, c))
+    ys = jnp.linspace(0.0, ih - 1.0, h)
+    xs = jnp.linspace(0.0, iw - 1.0, w)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, ih - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, iw - 1)
+    y1 = jnp.minimum(y0 + 1, ih - 1)
+    x1 = jnp.minimum(x0 + 1, iw - 1)
+    fy = (ys - y0).astype(x.dtype)[None, :, None, None]
+    fx = (xs - x0).astype(x.dtype)[None, None, :, None]
+    g = lambda yi, xi: x[:, yi][:, :, xi]
+    top = g(y0, x0) * (1 - fx) + g(y0, x1) * fx
+    bot = g(y1, x0) * (1 - fx) + g(y1, x1) * fx
+    return top * (1 - fy) + bot * fy
+
+
+def spatial_pyramid_apply(p, x):
+    lrelu = lambda v: N.leaky_relu(v, 0.2)
+    d = lrelu(N.conv2d(p["refine1"], x, padding=1))
+    d = lrelu(N.conv2d(p["refine2"], d, padding=1))
+    n, h, w, c = d.shape
+    outs = [d]
+    for k, name in ((32, "conv1010"), (16, "conv1020"), (8, "conv1030"),
+                    (4, "conv1040"), (2, "conv1050")):
+        pooled = jax.lax.reduce_window(d, 0.0, jax.lax.add,
+                                       (1, k, k, 1), (1, k, k, 1),
+                                       "VALID") / (k * k)
+        y = lrelu(N.conv2d(p[name], pooled))
+        outs.append(_resize_align_corners(y, h, w))
+    cat = jnp.concatenate(outs[1:] + [outs[0]], axis=-1)
+    return jnp.tanh(N.conv2d(p["refine3"], cat, padding=1))
 
 
 def cfs_init(key, c: int):
@@ -289,12 +407,32 @@ def _fuse(p, spec: GenSpec, key: str, lv, gv, res, an):
     if spec.use_local and spec.use_global:
         if spec.fusion == "cat":
             cat = jnp.concatenate([lv, gv], axis=-1)
-            return _apply_can(p[key], cat, an, (key,)) + res
+            if spec.lgcat_norm == "actnorm":
+                return _apply_can(p[key], cat, an, (key,)) + res
+            # iidr/iids use InstanceNorm in their lgcat stacks
+            # (ref networks_iidr_hlgvit_crs_gd4.py:222)
+            y = N.relu(N.instance_norm(N.conv2d(p[key]["conv"], cat)))
+            return y + res
         return lv + gv + res
     return (lv if spec.use_local else gv) + res
 
 
+def _resblock(blocks, x, an, path):
+    """iid_cnn_crs level: 2 x (reflect-pad conv/ActNorm/ReLU conv/ActNorm)
+    residual blocks, then the level residual is added by the caller."""
+    for i, blk in enumerate(blocks):
+        y = N.conv2d(blk["c1"], N.reflection_pad(x, 1))
+        y = N.relu(an(blk["an1"], y, path + (i, "an1")))
+        y = N.conv2d(blk["c2"], N.reflection_pad(y, 1))
+        y = an(blk["an2"], y, path + (i, "an2"))
+        x = x + y
+    return x
+
+
 def _level(p, spec: GenSpec, x, lvl: int, prefix: str, an):
+    if spec.cnn:
+        key = f"cnn_{prefix}"
+        return _resblock(p[key], x, an, (key,)) + x
     lv = (_local_vit(p[f"lvit_{prefix}"], spec, lvl, x, an,
                      (f"lvit_{prefix}",)) if spec.use_local else None)
     gv = (vit_apply(p[f"gvit_{prefix}"],
@@ -327,8 +465,13 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None):
     cur = xf
     for lvl in (1, 2, 3):
         if lvl > 1:
-            cur = N.relu(N.instance_norm(
-                N.conv2d(p[f"ds_e0{lvl}"]["conv"], cur, stride=2, padding=1)))
+            key = f"ds_e0{lvl}"
+            cur = N.conv2d(p[key]["conv"], cur, stride=2, padding=1)
+            if spec.ds_norm == "actnorm":
+                cur = an(p[key]["an"], cur, (key, "an"))
+            else:
+                cur = N.instance_norm(cur)
+            cur = N.relu(cur)
         x_e[lvl] = _level(p, spec, cur, lvl, f"e0{lvl}", an)
         cur = x_e[lvl]
 
@@ -338,15 +481,22 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None):
     d1: Dict[str, jnp.ndarray] = {}
     order = [b for b in "rs" if b in spec.branches] + (
         ["d"] if "d" in spec.branches else [])
+    lvl_out: Dict[str, Dict[int, jnp.ndarray]] = {}
     for b in order:
         cur = x_e[3]
         us[b] = {}
+        lvl_out[b] = {}
         for lvl in (3, 2, 1):
             cur = _level(p, spec, cur, lvl, f"d0{lvl}{b}", an)
+            lvl_out[b][lvl] = cur
             if lvl > 1:
                 key = f"us_d0{lvl}{b}"
-                u = N.conv_transpose2d(p[key]["conv"], cur)
-                if lvl == 3:
+                us_src = cur
+                if (b == "d" and lvl == 2 and spec.d02_us_from_s
+                        and "s" in spec.branches):
+                    us_src = lvl_out["s"][2]
+                u = N.conv_transpose2d(p[key]["conv"], us_src)
+                if lvl == 3 or "an" not in p[key]:
                     u = N.relu(N.instance_norm(u))
                 else:
                     u = N.relu(an(p[key]["an"], u, (key, "an")))
@@ -359,6 +509,8 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None):
                                           axis=-1)
                     cur = _apply_can(p[f"sk_d0{lvl}{b}"], cat, an,
                                      (f"sk_d0{lvl}{b}",))
+                elif spec.d_skip == "res":
+                    cur = u + x_e[lvl - 1]
                 elif b == "d" and spec.d_skip == "cat_partner":
                     partner = "r" if "r" in spec.branches else "s"
                     cat = jnp.concatenate([u, us[partner][lvl]], axis=-1)
@@ -373,7 +525,7 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None):
     # tails
     out = {}
     for b in order:
-        t = d1[b] + xf
+        t = d1[b] if spec.ipt_style else d1[b] + xf
         if spec.half_res_trunk:
             key = f"us_d01{b}"
             t = N.conv_transpose2d(p[key]["conv"], t)
@@ -385,9 +537,17 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None):
         t2 = N.conv2d(tp["conv1"], t, padding=1)
         if "an" in tp:
             t2 = an(tp["an"], t2, (tkey, "an"))
+        elif spec.tail_norm == "instance" and (b != "s" or spec.s_tail_norm):
+            t2 = N.instance_norm(t2)
         t2 = N.relu(t2)
         t2 = N.reflection_pad(t2, 3)
         out[b] = jnp.tanh(N.conv2d(tp["conv2"], t2))
+
+    if spec.xdh:
+        # refined dehazed output from input + all branch outputs
+        # (ref networks_iidr_hlgvit_crs_gd4.py:771: sp(cat(input, xr, xd)))
+        cat = jnp.concatenate([x] + [out[b] for b in order], axis=-1)
+        out["dh"] = spatial_pyramid_apply(p["sp"], cat)
     return out
 
 

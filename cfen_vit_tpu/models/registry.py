@@ -47,30 +47,44 @@ def _reg(name: str, **kw):
 
 
 _reg("iid_hlgvit_crs_gd4_cfs_v3", half_res_trunk=True, d_skip="cfs")
-_reg("iid_hlgvit_crs_gd4_cfs", half_res_trunk=False, d_skip="cfs")
-_reg("iid_hlgvit_crs_gd4_cfs_v2", half_res_trunk=False, d_skip="cfs")
-_reg("iid_hlgvit_crs_gd4_cfs_pe", half_res_trunk=False, d_skip="cfs")
+_reg("iid_hlgvit_crs_gd4_cfs", half_res_trunk=False, d_skip="cfs",
+     shared_tails=True)
+_reg("iid_hlgvit_crs_gd4_cfs_v2", half_res_trunk=False, d_skip="cfs",
+     shared_tails=True)
+_reg("iid_hlgvit_crs_gd4_cfs_pe", half_res_trunk=False, d_skip="cfs",
+     shared_tails=True)
 _reg("iid_hlgvit_crs_gd4_cfs_v5", half_res_trunk=True, d_skip="cfs", shrink=4)
 _reg("iid_hlgvit_crs_gd4", half_res_trunk=False, d_skip="cat3",
      shared_tails=True)
 _reg("iid_hlgvit_add_gd4", half_res_trunk=False, d_skip="cat3",
-     fusion="add", shared_tails=True)
+     fusion="add", shared_tails=True, tail_norm="instance",
+     s_tail_norm=True, d02_us_from_s=True)
 _reg("iid_hlgvit_crs_gd2", half_res_trunk=False, d_skip="cat3",
-     global_pools=1, shared_tails=True)
+     global_pools=1, shared_tails=True, tail_norm="instance",
+     s_tail_norm=True, d02_us_from_s=True)
 _reg("iid_lvit_crs_gd4", half_res_trunk=False, d_skip="cat3",
-     use_global=False, shared_tails=True)
+     use_global=False, shared_tails=True, s_tail_norm=True,
+     sk_conv_transposed=True, d02_us_from_s=True)
 _reg("iid_gvit_crs_gd4", half_res_trunk=False, d_skip="cat3",
-     use_local=False, shared_tails=True)
+     use_local=False, shared_tails=True, s_tail_norm=True,
+     sk_conv_transposed=True, d02_us_from_s=True)
 _reg("iid_vit_crs_gd4", half_res_trunk=False, d_skip="cat3",
-     use_local=False, global_pools=0, shared_tails=True)
+     use_local=False, global_pools=0, shared_tails=True, s_tail_norm=True,
+     sk_conv_transposed=True, d02_us_from_s=True)
 _reg("iid_cnn_crs", half_res_trunk=False, d_skip="cat3",
-     use_local=False, use_global=False, shared_tails=True)
+     use_local=False, use_global=False, shared_tails=True, cnn=True,
+     ds_norm="actnorm", d02_us_from_s=True)
 _reg("iidr_hlgvit_crs_gd4", half_res_trunk=False, branches="rd",
-     d_skip="cat_partner", shared_tails=True)
+     d_skip="cat_partner", shared_tails=True, lgcat_norm="instance",
+     xdh=True, tail_norm="instance", s_tail_norm=True)
 _reg("iids_hlgvit_crs_gd4", half_res_trunk=False, branches="sd",
-     d_skip="cat_partner", shared_tails=True)
+     d_skip="cat_partner", shared_tails=True, lgcat_norm="instance",
+     xdh=True, tail_norm="instance", s_tail_norm=True)
 _reg("iidn_hlgvit_crs_gd4", half_res_trunk=False, branches="d",
-     d_skip="enc")
+     d_skip="enc", s_tail_norm=True)
+# models/ipt.py — the single-output HLG-ViT behind `--model vit` (MGVIT)
+_reg("ipt", half_res_trunk=False, branches="d", fusion="add",
+     d_skip="res", ipt_style=True, tail_norm="instance", s_tail_norm=True)
 
 
 def generator_spec(name: str, cfg=None) -> GenSpec:

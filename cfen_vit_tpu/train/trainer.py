@@ -50,6 +50,7 @@ _MODEL_DEFAULT_G = {
     "decr_vit": "iidr_hlgvit_crs_gd4",
     "decs_vit": "iids_hlgvit_crs_gd4",
     "decn_vit": "iidn_hlgvit_crs_gd4",
+    "vit": "ipt",
 }
 
 
@@ -105,6 +106,9 @@ class GanTrainer:
         self.cfg = cfg
         g_name = _MODEL_DEFAULT_G.get(cfg.model) or cfg.model_G
         self.spec = generator_spec(g_name, cfg)
+        # MGVIT (--model vit, ref mgvit_model.py:90-123) trains the single-
+        # output ipt generator with GAN+VGG+gradient+L1 only, one D.
+        self.mgvit = cfg.model == "vit"
         self.branches = {"d": "A"}
         if "r" in self.spec.branches:
             self.branches["r"] = "R"
@@ -180,6 +184,19 @@ class GanTrainer:
             reals["S"] = self._expand_s(batch["S"])
         losses = {}
         hazy = batch["B"]
+        if self.mgvit:
+            # ref mgvit_model.py:90-123: GAN*0.0618 + VGG*2l + grad*0.2 + L1*3
+            fake, real = fakes["A"], reals["A"]
+            pred = apply_d(cfg, d["A"], jnp.concatenate([hazy, fake], -1))
+            losses["GAN"] = gan_loss(pred, True, self.use_lsgan) * 0.0618
+            losses["vgg"] = (vgg_perceptual_loss(vgg, fake, real)
+                             * cfg.lambda_vgg * 2)
+            losses["gradient_fake_A"] = 0.2 * jnp.mean(jnp.square(
+                color_gradient(real) - color_gradient(fake)))
+            losses["L1"] = jnp.mean(jnp.abs(real - fake)) * 3
+            total = sum(losses.values())
+            losses["G"] = total
+            return total, (losses, fakes, reals)
         for name, fake in fakes.items():
             real = reals[name]
             lk = name.lower()
