@@ -52,19 +52,38 @@ def mha_init(key, dim: int, num_heads: int):
 
 
 def mha_apply(p, q_in, k_in, v_in, num_heads):
-    """[N,S,E] batch-first self-attention."""
+    """[N,S,E] batch-first self-attention.
+
+    The score/softmax/PV core dispatches to the fused Pallas block-attention
+    kernel on TPU (ops/pallas_attn.py) and to plain einsums elsewhere."""
     nh = num_heads
     n, s, e = q_in.shape
     dh = e // nh
-    q = (q_in @ p["wq"].astype(q_in.dtype)).reshape(n, s, nh, dh)
-    k = (k_in @ p["wk"].astype(q_in.dtype)).reshape(n, s, nh, dh)
-    v = (v_in @ p["wv"].astype(q_in.dtype)).reshape(n, s, nh, dh)
+    q = q_in @ p["wq"].astype(q_in.dtype)
+    k = k_in @ p["wk"].astype(q_in.dtype)
+    v = v_in @ p["wv"].astype(q_in.dtype)
+
+    from ..ops.pallas_attn import fused_block_attention, use_pallas_attention
+    if use_pallas_attention():
+        out = fused_block_attention(q, k, v, nh)
+    else:
+        out = attention_core(q, k, v, nh)
+    return out @ p["wo"].astype(q_in.dtype)
+
+
+def attention_core(q, k, v, num_heads):
+    """Reference einsum attention: softmax(QK^T/sqrt(dh))V per head."""
+    n, s, e = q.shape
+    dh = e // num_heads
+    q = q.reshape(n, s, num_heads, dh)
+    k = k.reshape(n, s, num_heads, dh)
+    v = v.reshape(n, s, num_heads, dh)
     scale = 1.0 / math.sqrt(dh)
     logits = jnp.einsum("nqhd,nkhd->nhqk", q * scale, k,
                         preferred_element_type=jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     out = jnp.einsum("nhqk,nkhd->nqhd", probs, v)
-    return out.reshape(n, s, e) @ p["wo"].astype(q_in.dtype)
+    return out.reshape(n, s, e)
 
 
 # --------------------------------------------------------------------------
