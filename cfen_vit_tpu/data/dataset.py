@@ -88,6 +88,45 @@ class DecVitDataset:
             self.r_paths = make_dataset(os.path.join(root, "r"))
             self.s_paths = make_dataset(os.path.join(root, "s"))
         self.rng = random.Random(cfg.seed)
+        self._native_size = None
+
+    def _probe_size(self):
+        if self._native_size is None:
+            with Image.open(self.b_paths[0]) as im:
+                self._native_size = (im.size[1], im.size[0])  # (H, W)
+        return self._native_size
+
+    def native_batch(self, indices):
+        """Batch fast path via the C++ decoder (runtime/cfen_loader.cpp):
+        only valid when no geometric transform applies (the canonical eval
+        path, ref data/base_dataset.py default)."""
+        cfg = self.cfg
+        if cfg.resize_or_crop not in ("resize", "none") or not cfg.sb:
+            return None
+        from . import native
+        if not native.available():
+            return None
+        h, w = self._probe_size()
+        nb = len(self.b_paths)
+        bp = [self.b_paths[i % nb] for i in indices]
+        out = {"B_paths": bp}
+        b = native.decode_batch(bp, h, w)
+        if b is None:
+            return None
+        out["B"] = b
+        if self.is_train:
+            ap = [self.a_paths[i % len(self.a_paths)] for i in indices]
+            rp = [self.r_paths[i % len(self.r_paths)] for i in indices]
+            sp = [self.s_paths[i % len(self.s_paths)] for i in indices]
+            a = native.decode_batch(ap, h, w)
+            r = native.decode_batch(rp, h, w)
+            s = native.decode_batch(sp, h, w)
+            if a is None or r is None or s is None:
+                return None
+            luma = (s[..., 0] * 0.299 + s[..., 1] * 0.587
+                    + s[..., 2] * 0.114)[..., None]
+            out.update(A=a, R=r, S=luma, A_paths=ap)
+        return out
 
     def __len__(self):
         return len(self.b_paths)

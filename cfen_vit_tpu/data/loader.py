@@ -65,6 +65,11 @@ class DataLoader:
         limit = self.cfg.max_dataset_size
 
         def make(batch_idx):
+            nb = getattr(self.dataset, "native_batch", None)
+            if nb is not None:
+                out = nb(batch_idx)
+                if out is not None:
+                    return out
             return _collate([self.dataset[i] for i in batch_idx])
 
         if self.workers <= 1:

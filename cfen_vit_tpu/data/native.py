@@ -1,0 +1,77 @@
+"""ctypes binding for the native C++ decode runtime (runtime/cfen_loader.cpp).
+
+Builds lazily on first use (`make -C runtime`) and caches the .so; all
+callers fall back to the PIL path when the native library is unavailable,
+so the framework has no hard native dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+_RUNTIME_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "runtime")
+_LIB_PATH = os.path.join(_RUNTIME_DIR, "libcfen_loader.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH):
+            try:
+                subprocess.run(["make", "-C", _RUNTIME_DIR, "-s"],
+                               check=True, capture_output=True, timeout=120)
+            except Exception:
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.cfen_decode_batch_f32.restype = ctypes.c_int
+        lib.cfen_decode_batch_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
+        lib.cfen_decode_rgb.restype = ctypes.c_int
+        lib.cfen_decode_rgb.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_batch(paths: List[str], height: int, width: int,
+                 threads: int = 0) -> Optional[np.ndarray]:
+    """Decode + normalize a fixed-size batch natively.
+
+    Returns [N,H,W,3] float32 in [-1,1], or None if the native path is
+    unavailable or any image mismatches (caller falls back to PIL)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, height, width, 3), dtype=np.float32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    threads = threads or min(8, os.cpu_count() or 1)
+    rc = lib.cfen_decode_batch_f32(
+        arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        height, width, threads)
+    if rc != 0:
+        return None
+    return out
