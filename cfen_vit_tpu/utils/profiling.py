@@ -1,0 +1,63 @@
+"""Profiling / step-timing — the TPU-native observability layer.
+
+The reference's only instrumentation is wall-clock deltas printed every
+print_freq iters (train.py:40-56; SURVEY.md section 5.1).  Here:
+
+  * `trace(logdir)` context manager wraps steps in a jax.profiler trace
+    viewable in TensorBoard/XProf (device timelines, fusion-level view);
+  * `StepTimer` reproduces the reference's console t/t_data numbers and
+    keeps a rolling summary (mean/p50/p95) for throughput reporting;
+  * `annotate(name)` adds named TraceAnnotations inside jitted code.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, List, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(logdir: Optional[str]):
+    """jax.profiler trace when logdir is set; no-op otherwise."""
+    if not logdir:
+        yield
+        return
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    return jax.profiler.TraceAnnotation(name)
+
+
+class StepTimer:
+    def __init__(self, window: int = 200):
+        self.window = window
+        self.times: List[float] = []
+        self._t0 = None
+
+    def start(self):
+        self._t0 = time.perf_counter()
+
+    def stop(self) -> float:
+        dt = time.perf_counter() - self._t0
+        self.times.append(dt)
+        if len(self.times) > self.window:
+            self.times.pop(0)
+        return dt
+
+    def summary(self) -> Dict[str, float]:
+        if not self.times:
+            return {}
+        ts = sorted(self.times)
+        n = len(ts)
+        return {"mean_s": sum(ts) / n,
+                "p50_s": ts[n // 2],
+                "p95_s": ts[min(n - 1, int(n * 0.95))],
+                "steps": n}
