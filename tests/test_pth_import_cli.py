@@ -1,0 +1,68 @@
+"""End-to-end `.pth` checkpoint flow: a reference-format torch checkpoint in
+the checkpoints dir loads transparently through the test.py CLI (the
+released-checkpoint migration path, ref base_model.py:114-131 naming)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tests.ref_utils import has_reference, ref_path, tiny_opt
+
+pytestmark = pytest.mark.golden
+
+if not has_reference():
+    pytest.skip("reference repo unavailable", allow_module_level=True)
+
+
+def test_cli_loads_reference_pth(tmp_path, rng):
+    import torch
+    ref_path()
+    from models import networks_iid_hlgvit_crs_gd4_cfs_v3 as refmod
+    from models import common as ref_common
+
+    torch.manual_seed(0)
+    o = tiny_opt()
+    net = refmod.define_G(o, ref_common.default_conv).eval()
+    imgs = []
+    hazy_dir = tmp_path / "data" / "hazy"
+    hazy_dir.mkdir(parents=True)
+    for i in range(2):
+        a = (rng.rand(128, 128, 3) * 255).astype(np.uint8)
+        Image.fromarray(a).save(hazy_dir / f"h_{i}.png")
+        imgs.append(a)
+    with torch.no_grad():   # data-init the ActNorms on a real-ish input
+        x = torch.tensor((imgs[0].astype(np.float32) / 255 * 2 - 1)
+                         .transpose(2, 0, 1)[None])
+        ref_out = net(x)
+
+    ckpt_dir = tmp_path / "ckpt" / "exp"
+    ckpt_dir.mkdir(parents=True)
+    torch.save(net.state_dict(), ckpt_dir / "32_net_G.pth")
+
+    # load OUR test.py explicitly ('test' would otherwise resolve to the
+    # reference's test.py because ref_path() prepends /root/reference)
+    import importlib.util
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "cfen_test_cli", os.path.join(repo_root, "test.py"))
+    test_cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(test_cli)
+    test_cli.main([
+        "--dataroot", str(tmp_path / "data"), "--name", "exp",
+        "--checkpoints_dir", str(tmp_path / "ckpt"),
+        "--results_dir", str(tmp_path / "results"),
+        "--model", "dec_vit", "--dataset_mode", "dec_vit",
+        "--model_G", "iid_hlgvit_crs_gd4_cfs_v3",
+        "--n_feats", "8", "--loadSize", "64", "--patch_size", "8",
+        "--num_heads", "2", "--hidden_dim_ratio", "2",
+        "--sb", "--out_all", "--which_epoch", "32"])
+
+    img_dir = tmp_path / "results" / "exp" / "test_32" / "images"
+    out = np.asarray(Image.open(img_dir / "h_0_fake_A.png"),
+                     dtype=np.float32)
+    # compare against the torch forward's fake_A, converted like tensor2im
+    ref_a = ((ref_out[2][0].numpy().transpose(1, 2, 0) + 1) / 2 * 255)
+    # uint8 rounding differs by at most 1 plus float tolerance
+    assert np.abs(out - np.clip(ref_a, 0, 255)).max() <= 2.0
