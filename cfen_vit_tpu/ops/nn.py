@@ -97,18 +97,19 @@ def conv2d(p, x, stride: int = 1, padding: int = 0):
     return out
 
 
-def conv_transpose2d(p, x, stride: int = 2, padding: int = 1, kernel: int = 4):
-    """nn.ConvTranspose2d(k,s,p) via input dilation.
+def conv_transpose2d(p, x, stride: int = 2, padding: int = 1,
+                     kernel: int = 4, output_padding: int = 0):
+    """nn.ConvTranspose2d(k,s,p,output_padding) via input dilation.
 
     The stored kernel is already the spatially-flipped, [kh,kw,in,out]
     equivalent of torch's [in,out,kh,kw] weight, so this is a plain dilated
-    conv with padding k-1-p on each side.
+    conv with padding k-1-p low / k-1-p+output_padding high.
     """
     pad = kernel - 1 - padding
     out = lax.conv_general_dilated(
         x, p["w"].astype(x.dtype),
         window_strides=(1, 1),
-        padding=((pad, pad), (pad, pad)),
+        padding=((pad, pad + output_padding), (pad, pad + output_padding)),
         lhs_dilation=(stride, stride),
         dimension_numbers=_DN)
     if "b" in p:
