@@ -236,14 +236,19 @@ class GanTrainer:
     def _make_step(self):
         adam = self.adam
 
+        skip_thr = float(self.cfg.skip_threshold)
+
         def step(state, batch, vgg, lr):
             rng, rng_pool = jax.random.split(state["rng"])
             # 1. G update
             (gl, (losses, fakes, reals)), grads = jax.value_and_grad(
                 self._g_loss, has_aux=True)(
                 state["g"], state["d"], vgg, batch)
+            # honor --skip_threshold (declared-but-dead in the reference,
+            # base_options.py:164-165): a diverged batch applies no update
+            ok = (gl < skip_thr).astype(jnp.float32)
             up, g_opt = adam.update(grads, state["g_opt"], state["g"])
-            up = jax.tree_util.tree_map(lambda u: -lr * u, up)
+            up = jax.tree_util.tree_map(lambda u: -lr * ok * u, up)
             g = optax.apply_updates(state["g"], up)
 
             # 2. pools (pre-update fakes, ref :173-187)
