@@ -1,0 +1,158 @@
+"""VGG19 tower + perceptual losses vs torch replicas with shared weights.
+
+torchvision (and its pretrained VGG) are absent in this container, so we
+rebuild the exact torchvision vgg19.features topology in plain torch,
+load OUR random weights into it, and verify:
+  * vgg19_features tap placement (relu{k}_1 == the reference slice points,
+    epdn/epdn_networks.py:663-693),
+  * VGGLoss weighting math (:134-146),
+  * SemanticConsistencyLoss / IDMRF math (models/consistency.py) including
+    the mean-shift input convention of VGG19FeatLayer (models/vgg.py:205-207).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+from cfen_vit_tpu.losses.vgg import (  # noqa: E402
+    vgg19_init, vgg19_features, vgg_perceptual_loss,
+    semantic_consistency_loss, idmrf_loss, _VGG19_BLOCKS)
+
+
+def _torch_vgg19_features(params):
+    """torchvision-vgg19.features topology with our weights loaded."""
+    layers = []
+    for bi, (ch, n) in enumerate(_VGG19_BLOCKS, start=1):
+        if bi > 1:
+            layers.append(nn.MaxPool2d(2, 2))
+        for ci in range(1, n + 1):
+            name = f"conv{bi}_{ci}"
+            w = np.asarray(params[name]["w"]).transpose(3, 2, 0, 1)
+            conv = nn.Conv2d(w.shape[1], w.shape[0], 3, padding=1)
+            with torch.no_grad():
+                conv.weight.copy_(torch.tensor(w))
+                conv.bias.copy_(torch.tensor(np.asarray(params[name]["b"])))
+            layers += [conv, nn.ReLU()]
+    return nn.Sequential(*layers).eval()
+
+
+@pytest.fixture(scope="module")
+def vgg_pair():
+    params = vgg19_init(jax.random.PRNGKey(3))
+    return params, _torch_vgg19_features(params)
+
+
+def _nchw(a):
+    return torch.tensor(np.asarray(a).transpose(0, 3, 1, 2))
+
+
+def test_feature_taps_match_torch(vgg_pair, rng):
+    params, tnet = vgg_pair
+    x = (rng.rand(1, 64, 64, 3).astype(np.float32) * 2 - 1) * 0.5
+    feats = vgg19_features(params, jnp.asarray(x),
+                           ("relu1_1", "relu2_1", "relu3_1", "relu4_1",
+                            "relu5_1"))
+    # torchvision indices of those ReLUs: 1, 6, 11, 20, 29
+    with torch.no_grad():
+        h = _nchw(x)
+        taps = {}
+        for i, m in enumerate(tnet):
+            h = m(h)
+            taps[i] = h
+    for name, idx in (("relu1_1", 1), ("relu2_1", 6), ("relu3_1", 11),
+                      ("relu4_1", 20), ("relu5_1", 29)):
+        ref = taps[idx].numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(feats[name]), ref, atol=2e-4,
+                                   err_msg=name)
+
+
+def test_vgg_perceptual_loss_math(vgg_pair, rng):
+    """Replicates epdn VGGLoss with the torch tower: sliced L1 with weights
+    [1/32,1/16,1/8,1/4,1]."""
+    params, tnet = vgg_pair
+    x = (rng.rand(1, 64, 64, 3).astype(np.float32) * 2 - 1) * 0.8
+    y = np.clip(x + 0.1 * rng.randn(*x.shape).astype(np.float32), -1, 1)
+
+    with torch.no_grad():
+        def taps(v):
+            h = _nchw(v)
+            out = []
+            for i, m in enumerate(tnet):
+                h = m(h)
+                if i in (1, 6, 11, 20, 29):
+                    out.append(h)
+            return out
+        fx, fy = taps(x), taps(y)
+        weights = [1 / 32, 1 / 16, 1 / 8, 1 / 4, 1.0]
+        ref = sum(w * torch.mean(torch.abs(a - b))
+                  for w, a, b in zip(weights, fx, fy)).item()
+    got = float(vgg_perceptual_loss(params, jnp.asarray(x), jnp.asarray(y)))
+    assert abs(got - ref) < 5e-5 * max(1.0, abs(ref))
+
+
+def test_idmrf_loss_math(vgg_pair, rng):
+    """IDMRF vs a literal torch transcription of consistency.py:30-102
+    using our tower's relu3_1/relu4_1 ('relu3_2'/'relu4_2' in FeatLayer
+    naming) on mean-shifted inputs."""
+    import torch.nn.functional as F
+    params, tnet = vgg_pair
+    x = (rng.rand(1, 64, 64, 3).astype(np.float32)) * 0.8
+    y = np.clip(x + 0.05 * rng.randn(*x.shape).astype(np.float32), 0, 1)
+
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+
+    def taps(v):
+        h = _nchw(v) - mean
+        out = {}
+        with torch.no_grad():
+            for i, m in enumerate(tnet):
+                h = m(h)
+                if i == 11:
+                    out["r3"] = h
+                if i == 20:
+                    out["r4"] = h
+        return out
+
+    def mrf(o, t):
+        o_f = o - torch.mean(t, 1, keepdim=True)
+        t_f = t - torch.mean(t, 1, keepdim=True)
+        o_n = o_f / torch.norm(o_f, p=2, dim=1, keepdim=True)
+        t_n = t_f / torch.norm(t_f, p=2, dim=1, keepdim=True)
+        patches = t_n[0].permute(1, 2, 0).reshape(-1, t_n.shape[1])
+        patches = patches[:, :, None, None]
+        cos = F.conv2d(o_n, patches)
+        cdist = -(cos - 1) / 2
+        rel = cdist / (torch.min(cdist, dim=1, keepdim=True)[0] + 1e-5)
+        before = torch.exp((1.0 - rel) / 0.5)
+        cs = before / torch.sum(before, dim=1, keepdim=True)
+        k_max = torch.max(cs.view(1, cs.shape[1], -1), dim=2)[0]
+        div = torch.mean(k_max, dim=1)
+        return float(torch.sum(-torch.log(div)))
+
+    fx, fy = taps(x), taps(y)
+    ref = mrf(fx["r3"], fy["r3"]) + 2.0 * mrf(fx["r4"], fy["r4"])
+    got = float(idmrf_loss(params, jnp.asarray(x), jnp.asarray(y)))
+    assert abs(got - ref) < 1e-3 * max(1.0, abs(ref)), (got, ref)
+
+
+def test_semantic_loss_math(vgg_pair, rng):
+    params, tnet = vgg_pair
+    x = rng.rand(1, 64, 64, 3).astype(np.float32)
+    y = rng.rand(1, 64, 64, 3).astype(np.float32)
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    with torch.no_grad():
+        def tap(v):
+            h = _nchw(v) - mean
+            for i, m in enumerate(tnet):
+                h = m(h)
+                if i == 11:
+                    return h
+        ref = float(torch.mean(torch.abs(tap(x) - tap(y))))
+    got = float(semantic_consistency_loss(params, jnp.asarray(x),
+                                          jnp.asarray(y)))
+    assert abs(got - ref) < 5e-5 * max(1.0, abs(ref))
