@@ -150,6 +150,7 @@ class Config:
     mesh_shape: str = ""              # e.g. "8" or "4,2"; empty = all devices on 'data'
     bench_iters: int = 20
     image_size: int = 0               # 0 => inferred from loadSize & variant trunk
+    remat: bool = False               # jax.checkpoint per ViT level (training)
 
     def __post_init__(self):
         if isinstance(self.gpu_ids, str):

@@ -442,13 +442,25 @@ def _level(p, spec: GenSpec, x, lvl: int, prefix: str, an):
     return _fuse(p, spec, f"lgcat_{prefix}", lv, gv, x, an)
 
 
-def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None):
+def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None,
+                    remat: bool = False):
     """x: [B,H,W,3] in [-1,1]; returns dict of branch outputs in [-1,1].
 
     Output keys: 'r','s','d' (subset per spec.branches); 's' is 1-channel.
+    remat=True wraps every encoder/decoder level in jax.checkpoint —
+    activations are recomputed in the backward pass, trading ~1/3 extra
+    FLOPs for a large cut in live HBM during training (the 3-branch decoder
+    dominates activation memory at 512x512).  Ignored during the ActNorm
+    init pass (that pass must observe real intermediate statistics).
     """
     if an is None:
         an = ANCtx(init=False)
+    level_fn = _level
+    if remat and not an.init:
+        def level_fn(pp, sspec, xx, lvl, prefix, _an):  # noqa: ANN001
+            pure = jax.checkpoint(
+                lambda q, v: _level(q, sspec, v, lvl, prefix, ANCtx(False)))
+            return pure(pp, xx)
 
     # stem
     h = N.conv2d(p["head"]["conv"], x, padding=2)
@@ -472,7 +484,7 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None):
             else:
                 cur = N.instance_norm(cur)
             cur = N.relu(cur)
-        x_e[lvl] = _level(p, spec, cur, lvl, f"e0{lvl}", an)
+        x_e[lvl] = level_fn(p, spec, cur, lvl, f"e0{lvl}", an)
         cur = x_e[lvl]
 
     # decoders: R and S first, D last (consumes their us intermediates,
@@ -487,7 +499,7 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None):
         us[b] = {}
         lvl_out[b] = {}
         for lvl in (3, 2, 1):
-            cur = _level(p, spec, cur, lvl, f"d0{lvl}{b}", an)
+            cur = level_fn(p, spec, cur, lvl, f"d0{lvl}{b}", an)
             lvl_out[b][lvl] = cur
             if lvl > 1:
                 key = f"us_d0{lvl}{b}"
@@ -551,10 +563,11 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None):
     return out
 
 
-def generator_forward(p, spec: GenSpec, x, actnorm_init: bool = False):
+def generator_forward(p, spec: GenSpec, x, actnorm_init: bool = False,
+                      remat: bool = False):
     """Convenience wrapper; with actnorm_init returns (outputs, new_params)."""
     an = ANCtx(init=actnorm_init)
-    out = generator_apply(p, spec, x, an)
+    out = generator_apply(p, spec, x, an, remat=remat)
     if actnorm_init:
         return out, an.merge(_deep_copy_containers(p))
     return out

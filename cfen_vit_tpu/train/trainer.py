@@ -68,6 +68,7 @@ def pool_query(pool: Dict, images, rng):
     size = pool["buf"].shape[0]
     if size == 0:
         return pool, images
+    images = images.astype(pool["buf"].dtype)  # pool is fp32 under bf16 runs
 
     def body(carry, inp):
         buf, n, key = carry
@@ -173,7 +174,18 @@ class GanTrainer:
 
     def _g_loss(self, g, d, vgg, batch):
         cfg = self.cfg
-        out = generator_forward(g, self.spec, batch["B"])
+        cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        if cdt is not None:
+            # mixed precision: params/activations in bf16 for the loss,
+            # master params + Adam moments stay fp32 (grads come out fp32)
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda a: a.astype(cdt)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, t)
+            g, d, vgg = cast(g), cast(d), cast(vgg)
+            batch = {k: (v.astype(cdt) if hasattr(v, "astype") else v)
+                     for k, v in batch.items()}
+        out = generator_forward(g, self.spec, batch["B"],
+                                remat=cfg.remat)
         fakes, reals = {}, {}
         fakes["A"] = out["d"]
         reals["A"] = batch["A"]
@@ -211,6 +223,7 @@ class GanTrainer:
         losses["p"] = idmrf_loss(vgg, fakes["A"], reals["A"]) * 0.06
         losses["s"] = semantic_consistency_loss(
             vgg, fakes["A"], reals["A"]) * 2
+        losses = {k: v.astype(jnp.float32) for k, v in losses.items()}
         total = sum(losses.values())
         losses["G"] = total
         return total, (losses, fakes, reals)

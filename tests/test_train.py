@@ -111,3 +111,20 @@ def test_lr_schedule_matches_reference_lambda():
     # linear decay afterwards, hitting ~0 at the end
     assert lr_for_epoch(cfg, 99) < 1e-4
     assert lr_for_epoch(cfg, 299) == pytest.approx(0.0, abs=1e-12)
+
+
+@pytest.mark.slow
+def test_train_step_bf16_remat(rng, tmp_path):
+    """Mixed precision (bf16 compute, fp32 master) + per-level remat."""
+    from cfen_vit_tpu.train.trainer import GanTrainer
+
+    cfg = _tiny_cfg(tmp_path, compute_dtype="bfloat16", remat=True)
+    tr = GanTrainer(cfg)
+    tr.setup(cfg)
+    tr.set_input(_batch(rng))
+    tr.optimize_parameters(cfg)
+    losses = tr.get_current_losses()
+    assert all(np.isfinite(v) for v in losses.values()), losses
+    # master params stayed fp32
+    import jax.numpy as jnp
+    assert tr.state["g"]["head"]["conv"]["w"].dtype == jnp.float32
