@@ -1,0 +1,84 @@
+"""serve.py end-to-end over a real socket (tiny geometry)."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    import jax
+    from http.server import HTTPServer
+    import serve as serve_mod
+    from cfen_vit_tpu.config import Config
+    from cfen_vit_tpu.models.registry import generator_spec
+    from cfen_vit_tpu.models.generator import generator_init, generator_forward
+    from cfen_vit_tpu.train.checkpoint import save_net
+
+    tmp = tmp_path_factory.mktemp("serve")
+    cfg_seed = Config(name="srv", checkpoints_dir=str(tmp), n_feats=8,
+                      loadSize=64, patch_size=8, num_heads=2,
+                      hidden_dim_ratio=2, isTrain=False)
+    spec = generator_spec(cfg_seed.model_G, cfg_seed)
+    params = generator_init(jax.random.PRNGKey(0), spec)
+    x = jax.numpy.zeros((1, 128, 128, 3))
+    _, params = jax.jit(lambda p, xx: generator_forward(
+        p, spec, xx, actnorm_init=True))(params, x)
+    save_net(cfg_seed, "5", "G", params)
+
+    argv = ["--name", "srv", "--checkpoints_dir", str(tmp),
+            "--dataroot", str(tmp), "--which_epoch", "5",
+            "--n_feats", "8", "--loadSize", "64", "--patch_size", "8",
+            "--num_heads", "2", "--hidden_dim_ratio", "2"]
+    cfg, model, size = serve_mod.build_model(argv)
+    stats = {"n": 0, "t": 0.0}
+    httpd = HTTPServer(("127.0.0.1", 0),
+                       serve_mod.make_handler(cfg, model, size, stats))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_port}"
+    httpd.shutdown()
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(f"{server}/healthz") as r:
+        data = json.loads(r.read())
+    assert data["status"] == "ok" and data["input_size"] == 128
+
+
+def test_dehaze_roundtrip(server, rng):
+    buf = io.BytesIO()
+    Image.fromarray((rng.rand(128, 128, 3) * 255).astype(np.uint8)) \
+        .save(buf, "PNG")
+    req = urllib.request.Request(f"{server}/dehaze", data=buf.getvalue(),
+                                 method="POST")
+    with urllib.request.urlopen(req) as r:
+        assert r.headers["Content-Type"] == "image/png"
+        out = np.asarray(Image.open(io.BytesIO(r.read())))
+    assert out.shape == (128, 128, 3)
+
+
+def test_dehaze_resizes_mismatched_input(server, rng):
+    buf = io.BytesIO()
+    Image.fromarray((rng.rand(200, 300, 3) * 255).astype(np.uint8)) \
+        .save(buf, "PNG")
+    req = urllib.request.Request(f"{server}/dehaze", data=buf.getvalue(),
+                                 method="POST")
+    with urllib.request.urlopen(req) as r:
+        out = np.asarray(Image.open(io.BytesIO(r.read())))
+    assert out.shape == (128, 128, 3)
+
+
+def test_dehaze_rejects_garbage(server):
+    req = urllib.request.Request(f"{server}/dehaze", data=b"not an image",
+                                 method="POST")
+    try:
+        urllib.request.urlopen(req)
+        assert False, "should have errored"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
