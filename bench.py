@@ -23,6 +23,29 @@ import time
 TORCH_CPU_BASELINE_IMG_S = 0.1666
 
 
+def _watchdog(seconds: float):
+    """Emit a diagnostic JSON line and hard-exit if the device wedges.
+
+    The axon TPU tunnel can hang forever on remote compile/execute (see
+    .claude/skills/verify/SKILL.md); a benchmark that never prints is worse
+    than one reporting the failure."""
+    import os
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "512x512_dehaze_images_per_sec_per_chip",
+            "value": 0.0, "unit": "img/s", "vs_baseline": 0.0,
+            "note": f"device wedged: no result within {seconds:.0f}s "
+                    f"(TPU tunnel compile/execute hang)"}), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
@@ -30,7 +53,11 @@ def main():
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--timeout", type=float,
+                    default=float(__import__("os").environ.get(
+                        "CFEN_BENCH_TIMEOUT_S", 480)))
     args = ap.parse_args()
+    watchdog = _watchdog(args.timeout)
 
     import jax
     import jax.numpy as jnp
@@ -68,6 +95,7 @@ def main():
     dt = time.time() - t0
     img_s = args.batch * args.iters / dt
 
+    watchdog.cancel()
     print(json.dumps({
         "metric": "512x512_dehaze_images_per_sec_per_chip",
         "value": round(img_s, 4),
