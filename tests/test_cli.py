@@ -80,3 +80,45 @@ def test_cli_all_visuals_without_out_all(tiny_env):
     img_dir = os.path.join(cfg.results_dir, "tiny", "val_7", "images")
     labels = {f.split("img_00_")[1][:-4] for f in os.listdir(img_dir)}
     assert labels == {"real_B", "fake_A", "fake_R", "fake_S"}
+
+
+def test_cli_vit_model_single_output(tmp_path):
+    """--model vit (MGVIT/ipt single-output generator) through the CLI."""
+    import jax
+    import numpy as np
+    from PIL import Image
+    import test as test_cli
+    from cfen_vit_tpu.config import Config
+    from cfen_vit_tpu.models.registry import generator_spec
+    from cfen_vit_tpu.models.generator import generator_init, generator_forward
+    from cfen_vit_tpu.train.checkpoint import save_net
+
+    rng = np.random.RandomState(0)
+    hazy = tmp_path / "data" / "hazy"
+    hazy.mkdir(parents=True)
+    Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(
+        hazy / "a.png")
+
+    cfg = Config(dataroot=str(tmp_path / "data"), name="vt",
+                 checkpoints_dir=str(tmp_path / "ckpt"),
+                 results_dir=str(tmp_path / "results"),
+                 model="vit", dataset_mode="vit", n_feats=8, loadSize=64,
+                 patch_size=8, num_heads=2, hidden_dim_ratio=2,
+                 isTrain=False, sb=True, which_epoch="3")
+    spec = generator_spec("ipt", cfg)
+    params = generator_init(jax.random.PRNGKey(0), spec)
+    x = jax.numpy.zeros((1, 64, 64, 3))
+    _, params = jax.jit(lambda p, xx: generator_forward(
+        p, spec, xx, actnorm_init=True))(params, x)
+    save_net(cfg, "3", "G", params)
+
+    test_cli.main(["--dataroot", cfg.dataroot, "--name", "vt",
+                   "--checkpoints_dir", cfg.checkpoints_dir,
+                   "--results_dir", cfg.results_dir,
+                   "--model", "vit", "--dataset_mode", "vit",
+                   "--n_feats", "8", "--loadSize", "64", "--patch_size",
+                   "8", "--num_heads", "2", "--hidden_dim_ratio", "2",
+                   "--sb", "--which_epoch", "3"])
+    import os
+    img_dir = os.path.join(cfg.results_dir, "vt", "test_3", "images")
+    assert sorted(os.listdir(img_dir)) == ["a_fake_A.png", "a_real_B.png"]

@@ -33,10 +33,8 @@ def main(argv=None):
     visualizer = Visualizer(cfg)
     total_steps = 0
 
-    import contextlib
     import jax as _jax
-    precision_ctx = _jax.default_matmul_precision(cfg.precision)
-    precision_ctx.__enter__()
+    _jax.config.update("jax_default_matmul_precision", cfg.precision)
 
     for epoch in range(cfg.epoch_count, cfg.niter + cfg.niter_decay + 1):
         epoch_start_time = time.time()
