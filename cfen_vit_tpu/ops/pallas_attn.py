@@ -74,17 +74,21 @@ def fused_block_attention(q, k, v, num_heads: int):
 
 
 def use_pallas_attention() -> bool:
+    """Dispatch policy, set by measurement on TPU v5e (bench_attention.py +
+    bench.py, 512x512 canonical model, bf16):
+
+      isolated kernels: pallas wins up to 4.6x on the level-3 LViT blocks
+      ([16,256,384]x16h) and is ~par elsewhere; BUT the full model runs
+      ~8% FASTER with the plain einsum path (107.9 vs 99.6 img/s @ batch 4)
+      because the pallas_call boundary blocks XLA from fusing the q/k/v
+      projections and residual adds around the attention core.
+
+    Hence auto = OFF; CFEN_PALLAS_ATTN=1 forces the fused kernel (useful if
+    a future XLA regression changes the balance, or for larger seq/dims)."""
     flag = os.environ.get("CFEN_PALLAS_ATTN", "auto")
-    if flag == "0":
-        return False
-    if not _HAS_PALLAS:
+    if flag != "1" or not _HAS_PALLAS:
         return False
     try:
-        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False
-    if flag == "1":
-        return on_tpu
-    # auto: on for TPU (measured faster for the 256-token blocks; see
-    # tests/test_pallas_attn.py + bench_attention.py)
-    return on_tpu
