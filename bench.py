@@ -53,6 +53,11 @@ def main():
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--branches", default="d", choices=["d", "all"],
+                    help="'d' = dehazed output only (the canonical README "
+                         "eval passes --out_all, which discards R/S; XLA "
+                         "DCEs their level-1 blocks + tails); 'all' = full "
+                         "IID decomposition")
     ap.add_argument("--timeout", type=float,
                     default=float(__import__("os").environ.get(
                         "CFEN_BENCH_TIMEOUT_S", 480)))
@@ -81,7 +86,10 @@ def main():
         np.random.RandomState(0).rand(args.batch, args.size, args.size, 3)
         * 2 - 1, dtype)
 
-    fwd = jax.jit(lambda p, xx: generator_forward(p, spec, xx))
+    if args.branches == "d":
+        fwd = jax.jit(lambda p, xx: generator_forward(p, spec, xx)["d"])
+    else:
+        fwd = jax.jit(lambda p, xx: generator_forward(p, spec, xx))
     t0 = time.time()
     out = fwd(params, x)
     jax.block_until_ready(out)

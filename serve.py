@@ -34,6 +34,7 @@ def build_model(argv):
     import jax.numpy as jnp
 
     cfg = parse_args(argv, is_train=False, save_opt=False)
+    cfg.out_all = True   # serving returns fake_A only -> d-only XLA program
     model = DehazingModel(cfg)
     model.setup(cfg)
     if cfg.compute_dtype == "bfloat16":
