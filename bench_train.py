@@ -1,0 +1,74 @@
+"""Training-step benchmark: full GAN step (G+pools+3xD) on synthetic data.
+
+    python bench_train.py [--batch 2] [--size 512] [--iters 10] \
+        [--dtype bfloat16] [--remat]
+
+Prints one JSON line with steps/sec and imgs/sec. The reference has no
+training throughput numbers (and sleeps 160s between epochs); this
+establishes ours.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    ap.add_argument("--remat", action="store_true")
+    args = ap.parse_args()
+
+    from cfen_vit_tpu.config import Config
+    from cfen_vit_tpu.train.trainer import GanTrainer
+
+    cfg = Config(dataroot="/tmp", name="bench_train",
+                 checkpoints_dir="/tmp/bench_train_ckpt",
+                 n_feats=24, loadSize=args.size // 2,
+                 patch_size=args.size // 16, num_heads=4,
+                 hidden_dim_ratio=4, batchSize=args.batch, pool_size=50,
+                 sb=True, isTrain=True, compute_dtype=args.dtype,
+                 remat=args.remat)
+    tr = GanTrainer(cfg)
+    tr.setup(cfg)
+    rng = np.random.RandomState(0)
+    s = args.size
+    batch = {
+        "B": rng.rand(args.batch, s, s, 3).astype(np.float32) * 2 - 1,
+        "A": rng.rand(args.batch, s, s, 3).astype(np.float32) * 2 - 1,
+        "R": rng.rand(args.batch, s, s, 3).astype(np.float32) * 2 - 1,
+        "S": rng.rand(args.batch, s, s, 1).astype(np.float32) * 2 - 1,
+        "B_paths": [f"{i}.png" for i in range(args.batch)],
+    }
+    tr.set_input(batch)
+    t0 = time.time()
+    tr.optimize_parameters(cfg)           # init + compile + first step
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(args.iters):
+        tr.set_input(batch)
+        tr.optimize_parameters(cfg)
+    float(tr.get_current_losses()["G"])   # sync
+    dt = (time.time() - t0) / args.iters
+
+    print(json.dumps({
+        "metric": f"{args.size}x{args.size}_gan_train_step",
+        "value": round(dt, 4), "unit": "s/step",
+        "imgs_per_sec": round(args.batch / dt, 2),
+        "batch": args.batch, "dtype": args.dtype, "remat": args.remat,
+        "compile_s": round(compile_s, 1),
+    }))
+    g = float(tr.get_current_losses()["G"])
+    print(f"# G loss {g:.3f} (finite: {np.isfinite(g)})", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
