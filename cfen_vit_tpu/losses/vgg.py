@@ -134,30 +134,62 @@ def semantic_consistency_loss(params, out, target):
     return jnp.mean(jnp.abs(fo["relu3_1"] - ft["relu3_1"]))
 
 
-def _mrf(o, t):
-    """One-layer ID-MRF divergence (ref consistency.py:42-91).
-
-    o, t: [N,H,W,C].  The reference's per-pixel 1x1-patch conv is a plain
-    cosine-similarity matmul [HW_o, HW_t] per image — one large MXU matmul
-    here instead of a Python loop of convs.
-    """
+def _normalize_feats(o, t):
     n, h, w, c = o.shape
     t_mean = jnp.mean(t, axis=-1, keepdims=True)
     o_f = o - t_mean
     t_f = t - t_mean
     o_n = o_f / (jnp.linalg.norm(o_f, axis=-1, keepdims=True))
     t_n = t_f / (jnp.linalg.norm(t_f, axis=-1, keepdims=True))
-    o_n = o_n.reshape(n, h * w, c)
-    t_n = t_n.reshape(n, h * w, c)
-    cos = jnp.einsum("nqc,npc->nqp", o_n, t_n,
-                     preferred_element_type=jnp.float32)  # [N, HWo, HWt]
+    return o_n.reshape(n, h * w, c), t_n.reshape(n, h * w, c)
+
+
+def _mrf_rows(o_rows, t_n):
+    """cs rows for a q-block: [N,bq,C] x [N,P,C] -> normalized [N,bq,P]."""
+    cos = jnp.einsum("nqc,npc->nqp", o_rows, t_n,
+                     preferred_element_type=jnp.float32)
     # conv output layout is [HW_t filters, spatial HW_o] => dim1 of the
     # reference's cdist is the t-patch axis; relative-dist mins over it.
-    cdist = -(cos - 1.0) / 2.0                       # [N, q, p]
+    cdist = -(cos - 1.0) / 2.0
     rel = cdist / (jnp.min(cdist, axis=2, keepdims=True) + 1e-5)
     before = jnp.exp((1.0 - rel) / 0.5)
-    cs = before / jnp.sum(before, axis=2, keepdims=True)
-    k_max = jnp.max(cs, axis=1)                      # max over o-positions
+    return before / jnp.sum(before, axis=2, keepdims=True)
+
+
+def _mrf(o, t, block: int = 2048):
+    """One-layer ID-MRF divergence (ref consistency.py:42-91).
+
+    The reference materializes the full [HW_o, HW_t] relative-distance
+    matrix (1 GB fp32 at relu3 resolution for 512px inputs) via a Python
+    loop of convs.  The row-normalizations (min/sum over t) are local to a
+    q-row and the only cross-row reduction is a max over q per t-column, so
+    we stream q-row blocks through a lax.scan carrying the running
+    column-max — the big matrix never exists in HBM, forward or backward
+    (jax.checkpoint on the block recomputes it in the vjp)."""
+    o_n, t_n = _normalize_feats(o, t)
+    n, P, c = o_n.shape
+
+    if P <= block:
+        cs = _mrf_rows(o_n, t_n)
+        k_max = jnp.max(cs, axis=1)
+        div = jnp.mean(k_max, axis=1)
+        return jnp.sum(-jnp.log(div))
+
+    nb = -(-P // block)
+    pad = nb * block - P
+    o_pad = jnp.pad(o_n, ((0, 0), (0, pad), (0, 0)))
+    blocks = o_pad.reshape(n, nb, block, c).transpose(1, 0, 2, 3)
+    valid = jnp.arange(nb * block).reshape(nb, block) < P
+
+    @jax.checkpoint
+    def step(kmax, inp):
+        rows, mask = inp
+        cs = _mrf_rows(rows, t_n)                       # [N, block, P]
+        cs = jnp.where(mask[None, :, None], cs, -jnp.inf)
+        return jnp.maximum(kmax, jnp.max(cs, axis=1)), None
+
+    kmax0 = jnp.full((n, P), -jnp.inf, jnp.float32)
+    k_max, _ = jax.lax.scan(step, kmax0, (blocks, valid))
     div = jnp.mean(k_max, axis=1)
     return jnp.sum(-jnp.log(div))
 

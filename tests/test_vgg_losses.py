@@ -156,3 +156,19 @@ def test_semantic_loss_math(vgg_pair, rng):
     got = float(semantic_consistency_loss(params, jnp.asarray(x),
                                           jnp.asarray(y)))
     assert abs(got - ref) < 5e-5 * max(1.0, abs(ref))
+
+
+def test_mrf_blocked_matches_dense(vgg_pair, rng):
+    """The scan-blocked MRF (big inputs) equals the dense path, values AND
+    gradients."""
+    import jax
+    from cfen_vit_tpu.losses.vgg import _mrf
+    o = jnp.asarray(rng.randn(1, 12, 12, 8).astype(np.float32))
+    t = jnp.asarray(rng.randn(1, 12, 12, 8).astype(np.float32))
+    dense = _mrf(o, t, block=1024)          # 144 <= 1024 -> dense
+    blocked = _mrf(o, t, block=32)          # forces the scan path
+    assert abs(float(dense) - float(blocked)) < 1e-4
+
+    gd = jax.grad(lambda a: _mrf(a, t, block=1024))(o)
+    gb = jax.grad(lambda a: _mrf(a, t, block=32))(o)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gd), atol=1e-4)
