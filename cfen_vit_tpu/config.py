@@ -150,7 +150,12 @@ class Config:
     mesh_shape: str = ""              # e.g. "8" or "4,2"; empty = all devices on 'data'
     bench_iters: int = 20
     image_size: int = 0               # 0 => inferred from loadSize & variant trunk
-    remat: bool = False               # jax.checkpoint per ViT level (training)
+    remat: bool = True                # jax.checkpoint per ViT level; at
+                                      # 512x512 training this is 10x faster
+                                      # than no-remat (which spills HBM):
+                                      # 4.5 vs 47 s/step on v5e. --no_remat
+                                      # disables.
+    no_remat: bool = False
 
     def __post_init__(self):
         if isinstance(self.gpu_ids, str):
@@ -186,7 +191,7 @@ class Config:
 _STORE_TRUE = {
     "sb", "no_flip", "no_dropout", "no_lsgan", "continue_train", "no_html",
     "verbose", "out_all", "no_norm", "no_mlp", "pos_every", "no_pos",
-    "no_vgg_loss", "imagepool", "debug", "isTrain",
+    "no_vgg_loss", "imagepool", "debug", "isTrain", "remat", "no_remat",
 }
 
 
@@ -230,6 +235,8 @@ def parse_args(argv: Optional[List[str]] = None, is_train: bool = True,
         cfg.sb = True
         cfg.no_flip = True
         cfg.display_id = -1
+    if cfg.no_remat:
+        cfg.remat = False
     if cfg.suffix:
         cfg.name = cfg.name + "_" + cfg.suffix.format(**dataclasses.asdict(cfg))
     cfg.validate()

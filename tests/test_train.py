@@ -128,3 +128,25 @@ def test_train_step_bf16_remat(rng, tmp_path):
     # master params stayed fp32
     import jax.numpy as jnp
     assert tr.state["g"]["head"]["conv"]["w"].dtype == jnp.float32
+
+
+@pytest.mark.nightly
+@pytest.mark.parametrize("model,expect_d", [
+    ("decr_vit", {"A", "R"}), ("decs_vit", {"A", "S"}),
+    ("decn_vit", {"A"}), ("vit", {"A"})])
+def test_wrapper_models_train_step(rng, tmp_path, model, expect_d):
+    """One GAN step for each reference wrapper model (--model decr_vit /
+    decs_vit / decn_vit / vit). The reference's own wrappers crash on
+    missing ECLoss/TVLoss imports (docs/REFERENCE_DEFECTS.md); ours run."""
+    from cfen_vit_tpu.train.trainer import GanTrainer
+
+    cfg = _tiny_cfg(tmp_path, model=model,
+                    dataset_mode="vit" if model == "vit" else "dec_vit")
+    tr = GanTrainer(cfg)
+    tr.setup(cfg)
+    size = 128 if tr.spec.half_res_trunk else 64
+    tr.set_input(_batch(rng, size=size))
+    tr.optimize_parameters(cfg)
+    losses = tr.get_current_losses()
+    assert all(np.isfinite(v) for v in losses.values()), losses
+    assert set(tr.branches.values()) == expect_d
