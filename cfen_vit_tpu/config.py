@@ -156,6 +156,12 @@ class Config:
                                       # 4.5 vs 47 s/step on v5e. --no_remat
                                       # disables.
     no_remat: bool = False
+    self_ensemble: bool = False       # x8 dihedral ensemble at eval (the
+                                      # reference declares --self_ensemble,
+                                      # base_options.py; wired here)
+    chop: bool = False                # overlap-tiled eval for images larger
+                                      # than the compiled geometry
+    chop_overlap: int = 64
 
     def __post_init__(self):
         if isinstance(self.gpu_ids, str):
@@ -192,6 +198,7 @@ _STORE_TRUE = {
     "sb", "no_flip", "no_dropout", "no_lsgan", "continue_train", "no_html",
     "verbose", "out_all", "no_norm", "no_mlp", "pos_every", "no_pos",
     "no_vgg_loss", "imagepool", "debug", "isTrain", "remat", "no_remat",
+    "self_ensemble", "chop",
 }
 
 

@@ -89,7 +89,35 @@ class DehazingModel:
         self.image_paths = batch["B_paths"]
 
     def test(self, cfg=None) -> Dict[str, np.ndarray]:
-        out = self._fwd(self.params, self.real_B)
+        cfg = cfg or self.cfg
+        fwd = self._fwd
+        branches = ["d"] if self._d_only else list(self.spec.branches)
+
+        if getattr(cfg, "self_ensemble", False):
+            # x8 dihedral ensemble (reference --self_ensemble surface,
+            # vit_model.py:54; dihedral math in inference_utils)
+            from .inference_utils import self_ensemble_x8
+            base = fwd
+
+            def fwd(p, x, _base=base):
+                return {k: self_ensemble_x8(
+                    lambda v, kk=k: _base(p, v)[kk], x) for k in branches}
+
+        if getattr(cfg, "chop", False):
+            # overlap-tiled eval for inputs larger than the compiled
+            # geometry (the reference's forward_chop capability)
+            from .inference_utils import chop_forward
+            tile = cfg.input_size()
+            base = fwd
+
+            def fwd(p, x, _base=base, _tile=tile):
+                if x.shape[1] == _tile and x.shape[2] == _tile:
+                    return _base(p, x)
+                return {k: chop_forward(
+                    lambda v, kk=k: _base(p, v)[kk], x, _tile,
+                    cfg.chop_overlap) for k in branches}
+
+        out = fwd(self.params, self.real_B)
         self.visuals = {"real_B": np.asarray(self.real_B)}
         for b, arr in out.items():
             self.visuals[_VISUAL[b]] = np.asarray(arr)

@@ -122,3 +122,29 @@ def test_cli_vit_model_single_output(tmp_path):
     import os
     img_dir = os.path.join(cfg.results_dir, "vt", "test_3", "images")
     assert sorted(os.listdir(img_dir)) == ["a_fake_A.png", "a_real_B.png"]
+
+
+def test_cli_chop_and_ensemble(tiny_env):
+    """--chop handles inputs larger than the compiled geometry;
+    --self_ensemble averages the x8 dihedral transforms."""
+    import os
+    import numpy as np
+    from PIL import Image
+    import test as test_cli
+    cfg, tmp = tiny_env
+    big = tmp / "bigdata" / "hazy"
+    big.mkdir(parents=True)
+    rng = np.random.RandomState(3)
+    Image.fromarray((rng.rand(192, 192, 3) * 255).astype(np.uint8)).save(
+        big / "big.png")
+    test_cli.main(["--dataroot", str(tmp / "bigdata"), "--name", "tiny",
+                   "--checkpoints_dir", cfg.checkpoints_dir,
+                   "--results_dir", cfg.results_dir, "--phase", "chop",
+                   "--model", "dec_vit", "--dataset_mode", "dec_vit",
+                   "--n_feats", "8", "--loadSize", "64", "--patch_size",
+                   "8", "--num_heads", "2", "--hidden_dim_ratio", "2",
+                   "--sb", "--out_all", "--which_epoch", "7",
+                   "--chop", "--chop_overlap", "16", "--self_ensemble"])
+    img_dir = os.path.join(cfg.results_dir, "tiny", "chop_7", "images")
+    out = np.asarray(Image.open(os.path.join(img_dir, "big_fake_A.png")))
+    assert out.shape == (192, 192, 3)
