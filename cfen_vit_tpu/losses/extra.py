@@ -19,13 +19,9 @@ Both are unused by the reference's main training path (SURVEY.md section
 from __future__ import annotations
 
 import math
-from functools import partial
 
-import jax
 import jax.numpy as jnp
 from jax import lax
-
-from ..ops import nn as N
 
 _DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
                                  ("NHWC", "HWIO", "NHWC"))

@@ -23,9 +23,8 @@ perceptual loss, conv4_1 for MRF.
 
 from __future__ import annotations
 
-import math
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

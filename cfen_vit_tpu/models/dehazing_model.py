@@ -17,9 +17,8 @@ real_B / fake_A / fake_R / fake_S (+ real_* in train), S is expanded
 
 from __future__ import annotations
 
-from dataclasses import replace
 from functools import partial
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ PixelDiscriminator ('pixel'): 1x1 conv stack (ref networks.py:542-566).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from ..ops import nn as N
 

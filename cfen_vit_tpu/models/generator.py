@@ -34,15 +34,13 @@ and `gd2`'s inconsistent pool/upsample counts (we make it a consistent 2x).
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, field, replace
-from typing import Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..ops import nn as N
-from ..ops.resize import avg_pool2, upsample_bilinear2
 from ..ops.tiles import split_tiles, join_tiles
 from .vit import ViTSpec, vit_init, vit_apply
 

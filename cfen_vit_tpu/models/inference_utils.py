@@ -18,7 +18,6 @@ here):
 
 from __future__ import annotations
 
-import math
 from typing import Callable
 
 import jax

@@ -16,14 +16,13 @@ reference's own usage surface).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Sequence, Tuple
+from dataclasses import dataclass
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..ops import nn as N
-from .vit import mha_init  # noqa: F401 (naming parity only)
 
 
 @dataclass(frozen=True)

@@ -30,7 +30,6 @@ section 2.4):
 from __future__ import annotations
 
 from dataclasses import replace
-from typing import Optional
 
 from .generator import GenSpec, generator_init, generator_forward
 

@@ -34,11 +34,8 @@ the CUDA kernel's channel layout; mask [N,OH,OW,K*K]; w [K,K,C,O].
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _sample_patches(x, offset, kernel: int, stride: int, pad: int,

@@ -20,8 +20,6 @@ numbers so XLA tiles them straight onto the MXU.  Param layouts:
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,9 +9,6 @@ reshapes — free on TPU, no gather.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
-
 def unfold_tokens(x, p: int):
     """[N,H,W,C] -> [N, (H/p)*(W/p), C*p*p] with torch-unfold token layout."""
     n, h, w, c = x.shape

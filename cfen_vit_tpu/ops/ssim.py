@@ -12,10 +12,6 @@ conv is expressed as a feature-group conv so XLA maps it to the MXU.
 
 from __future__ import annotations
 
-import math
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -11,9 +11,6 @@ per-tile computation never mixes tiles.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
-
 def split_tiles(x, t: int):
     """[B,H,W,C] -> [B*(H/t)*(W/t), t, t, C], row-major tile order."""
     b, h, w, c = x.shape

@@ -24,10 +24,7 @@ grads inserted by the compiler.
 
 from __future__ import annotations
 
-import time
-from dataclasses import replace
-from functools import partial
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +40,7 @@ from ..models.registry import generator_spec
 from ..ops.gradient import color_gradient
 from ..ops.ssim import ssim
 from ..parallel.mesh import make_mesh, shard_batch, replicate
-from .checkpoint import save_net, load_net, save_train_state, load_train_state
+from .checkpoint import save_net, save_train_state, load_train_state
 from .schedule import lr_for_epoch
 
 _MODEL_DEFAULT_G = {

@@ -19,7 +19,6 @@ native C++ loader when the request size matches the compiled geometry.
 import argparse
 import io
 import json
-import sys
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, HTTPServer

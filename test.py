@@ -17,7 +17,6 @@ the whole batch runs as ONE jit-compiled TPU program.
 
 import logging
 import os
-import sys
 import time
 
 import jax

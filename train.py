@@ -13,7 +13,6 @@ intentionally not reproduced (SURVEY.md section 5.3).
 import logging
 import time
 
-import numpy as np
 
 
 def main(argv=None):
