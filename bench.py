@@ -66,6 +66,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from cfen_vit_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     import numpy as np
     from dataclasses import replace
     from cfen_vit_tpu.models.registry import generator_spec

@@ -26,7 +26,8 @@ def main():
     ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
 
-    from cfen_vit_tpu.config import Config
+    from cfen_vit_tpu.config import Config, enable_compilation_cache
+    enable_compilation_cache()
     from cfen_vit_tpu.train.trainer import GanTrainer
 
     cfg = Config(dataroot="/tmp", name="bench_train",

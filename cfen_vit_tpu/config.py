@@ -220,6 +220,20 @@ def _add_args(parser: argparse.ArgumentParser, defaults: Config,
                                 else str, default=default)
 
 
+def enable_compilation_cache(path: str = "") -> None:
+    """Persistent XLA compilation cache: CLI re-invocations skip the 30-600s
+    compiles (the reference pays full module setup each run)."""
+    import jax
+    path = path or os.environ.get("CFEN_COMPILE_CACHE",
+                                  os.path.expanduser("~/.cache/cfen_xla"))
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass  # cache is an optimization only
+
+
 def parse_args(argv: Optional[List[str]] = None, is_train: bool = True,
                save_opt: bool = True) -> Config:
     """argparse front-end mirroring TrainOptions/TestOptions.parse().
@@ -242,6 +256,7 @@ def parse_args(argv: Optional[List[str]] = None, is_train: bool = True,
         cfg.sb = True
         cfg.no_flip = True
         cfg.display_id = -1
+    enable_compilation_cache()
     if cfg.no_remat:
         cfg.remat = False
     if cfg.suffix:

@@ -48,6 +48,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.cfen_decode_rgb.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.cfen_encode_png.restype = ctypes.c_int
+        lib.cfen_encode_png.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -75,3 +79,15 @@ def decode_batch(paths: List[str], height: int, width: int,
     if rc != 0:
         return None
     return out
+
+
+def encode_png(path: str, rgb: np.ndarray, compress_level: int = 1) -> bool:
+    """Write an RGB8 [H,W,3] array as PNG natively; False -> caller uses PIL."""
+    lib = _load()
+    if lib is None:
+        return False
+    a = np.ascontiguousarray(rgb, dtype=np.uint8)
+    rc = lib.cfen_encode_png(
+        path.encode(), a.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        a.shape[1], a.shape[0], compress_level)
+    return rc == 0

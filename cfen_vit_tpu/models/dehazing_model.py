@@ -58,13 +58,28 @@ class DehazingModel:
         # tails — measured 170 vs 109 img/s at 512x512 bf16 on v5e.
         self._d_only = bool(getattr(cfg, "out_all", False)
                             and "d" in self.spec.branches)
+        # uint8 on the host<->device wire (normalize / tensor2im on device):
+        # 4x less transfer than float32 — the host link dominates small-batch
+        # eval latency. Disabled under chop/self_ensemble (they compose the
+        # float forward).
+        self._u8_io = not (getattr(cfg, "chop", False)
+                           or getattr(cfg, "self_ensemble", False))
+        dt = (jnp.bfloat16 if getattr(cfg, "compute_dtype", "")
+              == "bfloat16" else jnp.float32)
         self._fwd = jax.jit(partial(self._forward_impl, self.spec,
-                                    self._d_only))
+                                    self._d_only, self._u8_io, dt))
 
     @staticmethod
-    def _forward_impl(spec, d_only, params, x):
+    def _forward_impl(spec, d_only, u8_io, dt, params, x):
+        if u8_io:   # uint8 [0,255] -> [-1,1] (ref ToTensor+Normalize)
+            x = x.astype(dt) / 127.5 - 1.0
         out = generator_forward(params, spec, x)
-        return {"d": out["d"]} if d_only else out
+        if d_only:
+            out = {"d": out["d"]}
+        if u8_io:   # tensor2im on device (ref util/util.py:12-24, truncating)
+            out = {k: ((v.astype(jnp.float32) + 1.0) * 127.5)
+                   .astype(jnp.uint8) for k, v in out.items()}
+        return out
 
     # -- lifecycle ---------------------------------------------------------
     def init_params(self, seed: int = 0):
@@ -77,14 +92,30 @@ class DehazingModel:
         if epoch == "latest" and latest_epoch(cfg) and not _exists(cfg,
                                                                    "latest"):
             epoch = latest_epoch(cfg)
-        self.params = jax.device_put(load_net(cfg, epoch, "G", self.spec))
+        params = load_net(cfg, epoch, "G", self.spec)
+        if getattr(cfg, "compute_dtype", "float32") == "bfloat16":
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, "dtype") and a.dtype == np.float32 else a,
+                params)
+        self.params = jax.device_put(params)
 
     def save(self, epoch):
         return save_net(self.cfg, epoch, "G", self.params)
 
     # -- inference ---------------------------------------------------------
     def set_input(self, batch: Dict):
-        self.real_B = jnp.asarray(batch["B"])
+        dt = (jnp.bfloat16 if getattr(self.cfg, "compute_dtype", "")
+              == "bfloat16" else jnp.float32)
+        if self._u8_io:
+            b = batch["B"]
+            # rint recovers the original pixels exactly from the loader's
+            # v/255*2-1 floats (a truncating cast would be off by one)
+            u8 = (b if b.dtype == np.uint8 else
+                  np.rint((b + 1.0) * 127.5).astype(np.uint8))
+            self.real_B = jnp.asarray(u8)
+        else:
+            self.real_B = jnp.asarray(batch["B"], dt)
         self.image_paths = batch["B_paths"]
 
     def test(self, cfg=None) -> Dict[str, np.ndarray]:
@@ -117,9 +148,14 @@ class DehazingModel:
                     cfg.chop_overlap) for k in branches}
 
         out = fwd(self.params, self.real_B)
-        self.visuals = {"real_B": np.asarray(self.real_B)}
+        # uint8-wire path keeps uint8 end to end (tensor2im passes it
+        # through); float path casts bf16 -> f32 for the host tools.
+        def host(a):
+            a = np.asarray(a)
+            return a if a.dtype == np.uint8 else a.astype(np.float32)
+        self.visuals = {"real_B": host(self.real_B)}
         for b, arr in out.items():
-            self.visuals[_VISUAL[b]] = np.asarray(arr)
+            self.visuals[_VISUAL[b]] = host(arr)
         return self.visuals
 
     def get_current_visuals(self) -> Dict[str, np.ndarray]:

@@ -175,3 +175,37 @@ int cfen_decode_batch_f32(const char** paths, int n, float* out,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// PNG encode (RGB8) — host-side output path for test.py/serve.py galleries.
+// compress_level 0-9 (1 = fast, the eval-pipeline default).
+
+extern "C" int cfen_encode_png(const char* path, const unsigned char* rgb,
+                               int W, int H, int compress_level) {
+    FILE* f = fopen(path, "wb");
+    if (!f) return -1;
+    png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING,
+                                              nullptr, nullptr, nullptr);
+    if (!png) { fclose(f); return -2; }
+    png_infop info = png_create_info_struct(png);
+    if (!info) { png_destroy_write_struct(&png, nullptr); fclose(f); return -2; }
+    if (setjmp(png_jmpbuf(png))) {
+        png_destroy_write_struct(&png, &info);
+        fclose(f);
+        return -3;
+    }
+    png_init_io(png, f);
+    png_set_compression_level(png, compress_level);
+    png_set_IHDR(png, info, W, H, 8, PNG_COLOR_TYPE_RGB,
+                 PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+                 PNG_FILTER_TYPE_DEFAULT);
+    png_write_info(png, info);
+    std::vector<png_bytep> rows(H);
+    for (int y = 0; y < H; ++y)
+        rows[y] = const_cast<png_bytep>(rgb + size_t(y) * W * 3);
+    png_write_image(png, rows.data());
+    png_write_end(png, nullptr);
+    png_destroy_write_struct(&png, &info);
+    fclose(f);
+    return 0;
+}

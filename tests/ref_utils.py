@@ -44,3 +44,16 @@ def tiny_spec_kwargs(o):
                 hidden_dim_ratio=o.hidden_dim_ratio, load_size=o.loadSize,
                 no_norm=o.no_norm, no_mlp=o.no_mlp,
                 pos_every=o.pos_every, no_pos=o.no_pos)
+
+
+def load_repo_module(name: str):
+    """Import a repo-root top-level module (test.py, serve.py...) by path —
+    immune to /root/reference being prepended to sys.path by ref_path()."""
+    import importlib.util
+    import os
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        f"cfen_repo_{name}", os.path.join(repo_root, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod

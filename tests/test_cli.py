@@ -46,7 +46,8 @@ def tiny_env(tmp_path):
 
 
 def test_cli_end_to_end(tiny_env):
-    import test as test_cli
+    from tests.ref_utils import load_repo_module
+    test_cli = load_repo_module('test')
     cfg, tmp = tiny_env
     argv = ["--dataroot", cfg.dataroot, "--name", "tiny",
             "--checkpoints_dir", cfg.checkpoints_dir,
@@ -67,7 +68,8 @@ def test_cli_end_to_end(tiny_env):
 
 
 def test_cli_all_visuals_without_out_all(tiny_env):
-    import test as test_cli
+    from tests.ref_utils import load_repo_module
+    test_cli = load_repo_module('test')
     cfg, tmp = tiny_env
     argv = ["--dataroot", cfg.dataroot, "--name", "tiny",
             "--checkpoints_dir", cfg.checkpoints_dir,
@@ -87,7 +89,8 @@ def test_cli_vit_model_single_output(tmp_path):
     import jax
     import numpy as np
     from PIL import Image
-    import test as test_cli
+    from tests.ref_utils import load_repo_module
+    test_cli = load_repo_module('test')
     from cfen_vit_tpu.config import Config
     from cfen_vit_tpu.models.registry import generator_spec
     from cfen_vit_tpu.models.generator import generator_init, generator_forward
@@ -130,7 +133,8 @@ def test_cli_chop_and_ensemble(tiny_env):
     import os
     import numpy as np
     from PIL import Image
-    import test as test_cli
+    from tests.ref_utils import load_repo_module
+    test_cli = load_repo_module('test')
     cfg, tmp = tiny_env
     big = tmp / "bigdata" / "hazy"
     big.mkdir(parents=True)

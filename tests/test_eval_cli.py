@@ -9,7 +9,8 @@ from PIL import Image
 
 
 def test_eval_cli(tmp_path, capsys, rng):
-    import eval as eval_cli
+    from tests.ref_utils import load_repo_module
+    eval_cli = load_repo_module('eval')
 
     pred = tmp_path / "pred"
     gt = tmp_path / "gt"

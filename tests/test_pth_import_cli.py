@@ -41,14 +41,8 @@ def test_cli_loads_reference_pth(tmp_path, rng):
     ckpt_dir.mkdir(parents=True)
     torch.save(net.state_dict(), ckpt_dir / "32_net_G.pth")
 
-    # load OUR test.py explicitly ('test' would otherwise resolve to the
-    # reference's test.py because ref_path() prepends /root/reference)
-    import importlib.util
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    spec = importlib.util.spec_from_file_location(
-        "cfen_test_cli", os.path.join(repo_root, "test.py"))
-    test_cli = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(test_cli)
+    from tests.ref_utils import load_repo_module
+    test_cli = load_repo_module("test")
     test_cli.main([
         "--dataroot", str(tmp_path / "data"), "--name", "exp",
         "--checkpoints_dir", str(tmp_path / "ckpt"),
@@ -62,7 +56,9 @@ def test_cli_loads_reference_pth(tmp_path, rng):
     img_dir = tmp_path / "results" / "exp" / "test_32" / "images"
     out = np.asarray(Image.open(img_dir / "h_0_fake_A.png"),
                      dtype=np.float32)
-    # compare against the torch forward's fake_A, converted like tensor2im
+    # compare against the torch forward's fake_A quantized exactly like
+    # tensor2im (util/util.py:12-24: truncating uint8 cast) — both sides
+    # quantized, so the budget is fp32 noise + one truncation flip per side
     ref_a = ((ref_out[2][0].numpy().transpose(1, 2, 0) + 1) / 2 * 255)
-    # uint8 rounding differs by at most 1 plus float tolerance
-    assert np.abs(out - np.clip(ref_a, 0, 255)).max() <= 2.0
+    ref_u8 = np.clip(ref_a, 0, 255).astype(np.uint8).astype(np.float32)
+    assert np.abs(out - ref_u8).max() <= 2.0

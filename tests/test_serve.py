@@ -14,7 +14,8 @@ from PIL import Image
 def server(tmp_path_factory):
     import jax
     from http.server import HTTPServer
-    import serve as serve_mod
+    from tests.ref_utils import load_repo_module
+    serve_mod = load_repo_module('serve')
     from cfen_vit_tpu.config import Config
     from cfen_vit_tpu.models.registry import generator_spec
     from cfen_vit_tpu.models.generator import generator_init, generator_forward
