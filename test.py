@@ -33,6 +33,9 @@ def main(argv=None):
     dataset = data_loader.load_data()
     model = create_model(cfg)
     model.setup(cfg)
+    if cfg.verbose:
+        from cfen_vit_tpu.utils import print_networks
+        print_networks({"G": model.params}, verbose=True)
 
     web_dir = os.path.join(cfg.results_dir, cfg.name,
                            f"{cfg.phase}_{cfg.which_epoch}")

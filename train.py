@@ -30,6 +30,15 @@ def main(argv=None):
     model = create_model(cfg)
     model.setup(cfg)
     visualizer = Visualizer(cfg)
+    if cfg.verbose:
+        from cfen_vit_tpu.utils import print_networks
+        if getattr(model, "state", None):
+            nets = {"G": model.state["g"],
+                    **{f"D_{k}": v for k, v in model.state["d"].items()}}
+        else:
+            nets = {}
+        if nets:
+            print_networks(nets, verbose=True)
     total_steps = 0
 
     import jax as _jax
