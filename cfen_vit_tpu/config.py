@@ -162,6 +162,8 @@ class Config:
     chop: bool = False                # overlap-tiled eval for images larger
                                       # than the compiled geometry
     chop_overlap: int = 64
+    trace_dir: str = ""               # jax.profiler trace output (xprof/
+                                      # tensorboard); traces steps 10-15
 
     def __post_init__(self):
         if isinstance(self.gpu_ids, str):

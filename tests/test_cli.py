@@ -152,3 +152,43 @@ def test_cli_chop_and_ensemble(tiny_env):
     img_dir = os.path.join(cfg.results_dir, "tiny", "chop_7", "images")
     out = np.asarray(Image.open(os.path.join(img_dir, "big_fake_A.png")))
     assert out.shape == (192, 192, 3)
+
+
+def test_cli_decn_model(tmp_path):
+    """--model decn_vit (single-decoder iidn generator; the reference's
+    wrapper file is missing entirely — docs/REFERENCE_DEFECTS.md)."""
+    import jax
+    import numpy as np
+    import os
+    from PIL import Image
+    from tests.ref_utils import load_repo_module
+    test_cli = load_repo_module('test')
+    from cfen_vit_tpu.config import Config
+    from cfen_vit_tpu.models.registry import generator_spec
+    from cfen_vit_tpu.models.generator import generator_init, generator_forward
+    from cfen_vit_tpu.train.checkpoint import save_net
+
+    rng = np.random.RandomState(0)
+    (tmp_path / "data" / "hazy").mkdir(parents=True)
+    Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(
+        tmp_path / "data" / "hazy" / "a.png")
+    cfg = Config(dataroot=str(tmp_path / "data"), name="dn",
+                 checkpoints_dir=str(tmp_path / "ckpt"),
+                 results_dir=str(tmp_path / "results"), model="decn_vit",
+                 n_feats=8, loadSize=64, patch_size=8, num_heads=2,
+                 hidden_dim_ratio=2, isTrain=False, sb=True,
+                 which_epoch="2")
+    spec = generator_spec("iidn_hlgvit_crs_gd4", cfg)
+    params = generator_init(jax.random.PRNGKey(0), spec)
+    _, params = jax.jit(lambda p, xx: generator_forward(
+        p, spec, xx, actnorm_init=True))(params, jax.numpy.zeros((1, 64, 64, 3)))
+    save_net(cfg, "2", "G", params)
+    test_cli.main(["--dataroot", cfg.dataroot, "--name", "dn",
+                   "--checkpoints_dir", cfg.checkpoints_dir,
+                   "--results_dir", cfg.results_dir, "--model", "decn_vit",
+                   "--dataset_mode", "dec_vit", "--n_feats", "8",
+                   "--loadSize", "64", "--patch_size", "8", "--num_heads",
+                   "2", "--hidden_dim_ratio", "2", "--sb",
+                   "--which_epoch", "2"])
+    img_dir = os.path.join(cfg.results_dir, "dn", "test_2", "images")
+    assert sorted(os.listdir(img_dir)) == ["a_fake_A.png", "a_real_B.png"]

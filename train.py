@@ -55,8 +55,14 @@ def main(argv=None):
             visualizer.reset()
             total_steps += cfg.batchSize
             epoch_iter += cfg.batchSize
+            if cfg.trace_dir and total_steps == 10 * cfg.batchSize:
+                import jax as _j
+                _j.profiler.start_trace(cfg.trace_dir)
             model.set_input(data)
             model.optimize_parameters(cfg)
+            if cfg.trace_dir and total_steps == 15 * cfg.batchSize:
+                import jax as _j
+                _j.profiler.stop_trace()
 
             if total_steps % cfg.display_freq == 0:
                 save_result = total_steps % cfg.update_html_freq == 0
