@@ -35,6 +35,13 @@ def _collate(items: List[Dict]) -> Dict:
     for k in items[0]:
         vals = [it[k] for it in items]
         if isinstance(vals[0], np.ndarray):
+            shapes = {v.shape for v in vals}
+            if len(shapes) > 1:
+                raise ValueError(
+                    f"batch of '{k}' mixes image sizes {sorted(shapes)}; "
+                    "use --batchSize 1, pre-resize the folder, or --chop "
+                    "for large images (the reference crashes identically "
+                    "in default_collate)")
             out[k] = np.stack(vals).astype(np.float32)
         else:
             out[k] = vals

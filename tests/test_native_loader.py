@@ -70,3 +70,18 @@ def test_loader_uses_native_path(imgdir, tmp_path):
     assert len(batches) == 2
     ref = arrs[0].astype(np.float32) / 255.0 * 2 - 1
     np.testing.assert_allclose(batches[0]["B"][0], ref, atol=1e-6)
+
+
+def test_mixed_size_batch_clear_error(tmp_path):
+    from cfen_vit_tpu.config import Config
+    from cfen_vit_tpu.data import create_dataloader
+    import numpy as np
+    from PIL import Image
+    root = tmp_path / "mix"
+    (root / "hazy").mkdir(parents=True)
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(root / "hazy" / "a.png")
+    Image.fromarray(np.zeros((48, 48, 3), np.uint8)).save(root / "hazy" / "b.png")
+    cfg = Config(dataroot=str(root), isTrain=False, sb=True, batchSize=2,
+                 name="m", checkpoints_dir=str(tmp_path / "c"))
+    with pytest.raises(ValueError, match="mixes image sizes"):
+        list(create_dataloader(cfg))
