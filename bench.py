@@ -48,7 +48,10 @@ def _watchdog(seconds: float):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=4)
+    # batch 7 is the measured single-chip sweet spot (see BASELINE.md
+    # sweep: throughput climbs to b7 = 200 img/s, then an HBM/fusion
+    # cliff at b8-b12)
+    ap.add_argument("--batch", type=int, default=7)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
