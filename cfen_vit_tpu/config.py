@@ -164,6 +164,9 @@ class Config:
     chop_overlap: int = 64
     trace_dir: str = ""               # jax.profiler trace output (xprof/
                                       # tensorboard); traces steps 10-15
+    grad_accum: int = 1               # micro-batch gradient accumulation
+                                      # (batchSize must divide; one micro-
+                                      # batch of activations live at a time)
 
     def __post_init__(self):
         if isinstance(self.gpu_ids, str):

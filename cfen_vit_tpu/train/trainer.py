@@ -247,13 +247,74 @@ class GanTrainer:
         adam = self.adam
 
         skip_thr = float(self.cfg.skip_threshold)
+        accum = max(1, int(getattr(self.cfg, "grad_accum", 1)))
+
+        def grads_and_pools(state, batch, vgg):
+            """G grads + pool updates + pooled fakes + D grads, either in one
+            shot or accumulated over micro-batches (lax.scan keeps a single
+            micro-batch of activations live -> effective batches beyond the
+            one-shot HBM limit).  Mean losses are exactly equivalent to the
+            one-shot step; the sum-normalized ID-MRF term is scaled by
+            1/accum (documented)."""
+            if accum == 1:
+                rng, rng_pool = jax.random.split(state["rng"])
+                (gl, (losses, fakes, reals)), grads = jax.value_and_grad(
+                    self._g_loss, has_aux=True)(
+                    state["g"], state["d"], vgg, batch)
+                pools, pooled = {}, {}
+                for i, name in enumerate(fakes):
+                    pools[name], pooled[name] = pool_query(
+                        state["pools"][name], fakes[name],
+                        jax.random.fold_in(rng_pool, i))
+                (dl, d_losses), d_grads = jax.value_and_grad(
+                    self._d_loss, has_aux=True)(
+                    state["d"], batch, pooled, reals)
+                return (gl, grads, d_grads, losses, d_losses, fakes, pools,
+                        rng)
+
+            b = batch["B"].shape[0]
+            mb = b // accum
+            micro_in = {k: v.reshape((accum, mb) + v.shape[1:])
+                        for k, v in batch.items()}
+
+            def body(carry, mbatch):
+                gsum, dsum, pools, rng = carry
+                rng, rp = jax.random.split(rng)
+                (gl, (losses, fakes, reals)), ggr = jax.value_and_grad(
+                    self._g_loss, has_aux=True)(
+                    state["g"], state["d"], vgg, mbatch)
+                pooled = {}
+                new_pools = {}
+                for i, name in enumerate(fakes):
+                    new_pools[name], pooled[name] = pool_query(
+                        pools[name], fakes[name], jax.random.fold_in(rp, i))
+                (dl, d_losses), dgr = jax.value_and_grad(
+                    self._d_loss, has_aux=True)(
+                    state["d"], mbatch, pooled, reals)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, ggr)
+                dsum = jax.tree_util.tree_map(jnp.add, dsum, dgr)
+                return (gsum, dsum, new_pools, rng), (gl, losses, d_losses,
+                                                      fakes)
+
+            zeros_like = lambda t: jax.tree_util.tree_map(
+                lambda a: jnp.zeros(a.shape, jnp.float32), t)
+            carry0 = (zeros_like(state["g"]), zeros_like(state["d"]),
+                      state["pools"], state["rng"])
+            (gsum, dsum, pools, rng), (gls, losses, d_losses, fakes) = (
+                jax.lax.scan(body, carry0, micro_in))
+            inv = 1.0 / accum
+            grads = jax.tree_util.tree_map(lambda a: a * inv, gsum)
+            d_grads = jax.tree_util.tree_map(lambda a: a * inv, dsum)
+            losses = jax.tree_util.tree_map(lambda a: jnp.mean(a), losses)
+            d_losses = jax.tree_util.tree_map(lambda a: jnp.mean(a),
+                                              d_losses)
+            last_fakes = jax.tree_util.tree_map(lambda a: a[-1], fakes)
+            return (jnp.mean(gls), grads, d_grads, losses, d_losses,
+                    last_fakes, pools, rng)
 
         def step(state, batch, vgg, lr):
-            rng, rng_pool = jax.random.split(state["rng"])
-            # 1. G update
-            (gl, (losses, fakes, reals)), grads = jax.value_and_grad(
-                self._g_loss, has_aux=True)(
-                state["g"], state["d"], vgg, batch)
+            (gl, grads, d_grads, losses, d_losses, fakes, pools,
+             rng) = grads_and_pools(state, batch, vgg)
             # honor --skip_threshold (declared-but-dead in the reference,
             # base_options.py:164-165): a diverged batch applies no update
             ok = (gl < skip_thr).astype(jnp.float32)
@@ -261,21 +322,11 @@ class GanTrainer:
             up = jax.tree_util.tree_map(lambda u: -lr * ok * u, up)
             g = optax.apply_updates(state["g"], up)
 
-            # 2. pools (pre-update fakes, ref :173-187)
-            pools, pooled = {}, {}
-            for i, name in enumerate(fakes):
-                pools[name], pooled[name] = pool_query(
-                    state["pools"][name], fakes[name],
-                    jax.random.fold_in(rng_pool, i))
-
-            # 3. D update
-            (dl, d_losses), d_grads = jax.value_and_grad(
-                self._d_loss, has_aux=True)(
-                state["d"], batch, pooled, reals)
             dup, d_opt = adam.update(d_grads, state["d_opt"], state["d"])
             dup = jax.tree_util.tree_map(lambda u: -lr * u, dup)
             d = optax.apply_updates(state["d"], dup)
 
+            losses = dict(losses)
             losses.update(d_losses)
             new_state = {"g": g, "d": d, "g_opt": g_opt, "d_opt": d_opt,
                          "pools": pools, "rng": rng,

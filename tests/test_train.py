@@ -150,3 +150,37 @@ def test_wrapper_models_train_step(rng, tmp_path, model, expect_d):
     losses = tr.get_current_losses()
     assert all(np.isfinite(v) for v in losses.values()), losses
     assert set(tr.branches.values()) == expect_d
+
+
+@pytest.mark.slow
+def test_grad_accumulation(rng, tmp_path):
+    """grad_accum=2: step runs, pools advance by the FULL batch, and for
+    mean losses grads match the one-shot step closely."""
+    import jax
+    from cfen_vit_tpu.train.trainer import GanTrainer
+
+    b = _batch(rng, n=4)
+    def run(accum, name):
+        cfg = _tiny_cfg(tmp_path, batchSize=4, grad_accum=accum, name=name)
+        tr = GanTrainer(cfg)
+        tr.setup(cfg)
+        tr.set_input({k: (v.copy() if hasattr(v, "copy") else v)
+                      for k, v in b.items()})
+        tr.optimize_parameters(cfg)
+        return tr
+
+    t1 = run(1, "a1")
+    t2 = run(2, "a2")
+    l1, l2 = t1.get_current_losses(), t2.get_current_losses()
+    assert all(np.isfinite(v) for v in l2.values()), l2
+    # pools saw all 4 images either way
+    assert int(np.asarray(t1.state["pools"]["A"]["n"])) == 4
+    assert int(np.asarray(t2.state["pools"]["A"]["n"])) == 4
+    # mean-normalized losses agree (sum-normalized 'p' is scaled by 1/accum)
+    for k in ("L2_a", "ssim_a", "GAN_a", "vgg_a"):
+        assert abs(l1[k] - l2[k]) < 5e-3 * max(1.0, abs(l1[k])), (k, l1[k],
+                                                                  l2[k])
+    # updated G params are close (identical up to p-term rescale + fp noise)
+    w1 = np.asarray(t1.state["g"]["head"]["conv"]["w"])
+    w2 = np.asarray(t2.state["g"]["head"]["conv"]["w"])
+    assert np.abs(w1 - w2).max() < 5e-4
