@@ -194,6 +194,11 @@ class Config:
                 f"{self.patch_size}-px tiles)")
         if self.patch_size % self.patch_dim != 0:
             raise ValueError("patch_size must be divisible by patch_dim")
+        if self.grad_accum > 1 and self.batchSize % self.grad_accum != 0:
+            raise ValueError(
+                f"batchSize={self.batchSize} must be divisible by "
+                f"grad_accum={self.grad_accum} (the accumulation scan "
+                f"reshapes to (accum, batch//accum))")
 
     def expr_dir(self) -> str:
         return os.path.join(self.checkpoints_dir, self.name)

@@ -68,6 +68,13 @@ class DataLoader:
             np.random.shuffle(order)
         batches = [order[i:i + self.batch_size]
                    for i in range(0, n, self.batch_size)]
+        # Training drops the trailing partial batch: a ragged batch breaks
+        # the grad-accum reshape and mesh data-axis divisibility, and even
+        # when it works it forces a 30-600s recompile of the jitted GAN
+        # step once per epoch (advisor r1).  Eval keeps every image.
+        if (getattr(self.cfg, "isTrain", False) and batches
+                and len(batches[-1]) < self.batch_size):
+            batches = batches[:-1]
 
         limit = self.cfg.max_dataset_size
 

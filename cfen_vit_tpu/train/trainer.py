@@ -3,10 +3,13 @@
 One jit-compiled `train_step` per batch contains, in reference order
 (ref :272-287):
   1. generator forward + 7-term G loss (ref :190-270) + Adam update;
-  2. ImagePool mixing of the PRE-update fakes (ref :173-187 uses the fakes
-     computed before optimizer_G.step's effect on the next forward);
-  3. LS-GAN D loss (0.5*(real+fake), ref :160-171) + joint Adam update over
-     D_A/D_R/D_S (one optimizer chain, ref :121).
+  2. ImagePool advance with the PRE-update fakes — NOTE the reference's
+     backward_D queries the pool but then builds fake_*_cat from the
+     CURRENT self.fake_* (ref :173-187: the query result is assigned to a
+     discarded local), so D trains on un-pooled fakes while the pool still
+     mutates; we reproduce that exactly (advisor r1 finding);
+  3. LS-GAN D loss (0.5*(real+fake), ref :160-171) on the current fakes +
+     joint Adam update over D_A/D_R/D_S (one optimizer chain, ref :121).
 
 G loss terms and weights (ref :190-270):
   GAN (conditional, cat(hazy, img)) x0.0618/branch; VGG x2*lambda_vgg/branch;
@@ -217,20 +220,27 @@ class GanTrainer:
                 color_gradient(real) - color_gradient(fake))) * 2
             losses[f"L2_{lk}"] = jnp.mean(jnp.abs(real - fake)) * 2
             losses[f"ssim_{lk}"] = (1.0 - ssim(real, fake)) * 3
-        losses["p"] = idmrf_loss(vgg, fakes["A"], reals["A"]) * 0.06
+        # NOTE arg order: the reference passes (real, fake) — criterionPer/
+        # criterionSty(self.real_A, self.fake_A) (ref :249-253) — and ID-MRF
+        # is asymmetric (the 2nd arg supplies mean-shift, patch bank and the
+        # min axis), so the order is observable semantics (advisor r1).
+        losses["p"] = idmrf_loss(vgg, reals["A"], fakes["A"]) * 0.06
         losses["s"] = semantic_consistency_loss(
-            vgg, fakes["A"], reals["A"]) * 2
+            vgg, reals["A"], fakes["A"]) * 2
         losses = {k: v.astype(jnp.float32) for k, v in losses.items()}
         total = sum(losses.values())
         losses["G"] = total
         return total, (losses, fakes, reals)
 
-    def _d_loss(self, d, batch, pooled, reals):
+    def _d_loss(self, d, batch, fakes, reals):
+        """D trains on the CURRENT fakes (ref :173-187 discards the pool
+        query result when building fake_*_cat); the pool still advances in
+        grads_and_pools for exact ImagePool state parity."""
         cfg = self.cfg
         hazy = batch["B"]
         losses = {}
         total = 0.0
-        for name, fake in pooled.items():
+        for name, fake in fakes.items():
             real_cat = jnp.concatenate([hazy, reals[name]], -1)
             fake_cat = jnp.concatenate([hazy,
                                         jax.lax.stop_gradient(fake)], -1)
@@ -261,14 +271,16 @@ class GanTrainer:
                 (gl, (losses, fakes, reals)), grads = jax.value_and_grad(
                     self._g_loss, has_aux=True)(
                     state["g"], state["d"], vgg, batch)
-                pools, pooled = {}, {}
+                pools = {}
                 for i, name in enumerate(fakes):
-                    pools[name], pooled[name] = pool_query(
+                    # advance the pool; the query RESULT is discarded, as in
+                    # the reference's backward_D (ref :173-187)
+                    pools[name], _ = pool_query(
                         state["pools"][name], fakes[name],
                         jax.random.fold_in(rng_pool, i))
                 (dl, d_losses), d_grads = jax.value_and_grad(
                     self._d_loss, has_aux=True)(
-                    state["d"], batch, pooled, reals)
+                    state["d"], batch, fakes, reals)
                 return (gl, grads, d_grads, losses, d_losses, fakes, pools,
                         rng)
 
@@ -283,14 +295,13 @@ class GanTrainer:
                 (gl, (losses, fakes, reals)), ggr = jax.value_and_grad(
                     self._g_loss, has_aux=True)(
                     state["g"], state["d"], vgg, mbatch)
-                pooled = {}
                 new_pools = {}
                 for i, name in enumerate(fakes):
-                    new_pools[name], pooled[name] = pool_query(
+                    new_pools[name], _ = pool_query(
                         pools[name], fakes[name], jax.random.fold_in(rp, i))
                 (dl, d_losses), dgr = jax.value_and_grad(
                     self._d_loss, has_aux=True)(
-                    state["d"], mbatch, pooled, reals)
+                    state["d"], mbatch, fakes, reals)
                 gsum = jax.tree_util.tree_map(jnp.add, gsum, ggr)
                 dsum = jax.tree_util.tree_map(jnp.add, dsum, dgr)
                 return (gsum, dsum, new_pools, rng), (gl, losses, d_losses,
@@ -316,14 +327,17 @@ class GanTrainer:
             (gl, grads, d_grads, losses, d_losses, fakes, pools,
              rng) = grads_and_pools(state, batch, vgg)
             # honor --skip_threshold (declared-but-dead in the reference,
-            # base_options.py:164-165): a diverged batch applies no update
+            # base_options.py:164-165): a diverged batch applies NEITHER the
+            # G nor the D update (gating both keeps the adversarial pair in
+            # step; Adam moments still advance — acceptable for a safety
+            # valve that should never fire in healthy training)
             ok = (gl < skip_thr).astype(jnp.float32)
             up, g_opt = adam.update(grads, state["g_opt"], state["g"])
             up = jax.tree_util.tree_map(lambda u: -lr * ok * u, up)
             g = optax.apply_updates(state["g"], up)
 
             dup, d_opt = adam.update(d_grads, state["d_opt"], state["d"])
-            dup = jax.tree_util.tree_map(lambda u: -lr * u, dup)
+            dup = jax.tree_util.tree_map(lambda u: -lr * ok * u, dup)
             d = optax.apply_updates(state["d"], dup)
 
             losses = dict(losses)

@@ -98,10 +98,16 @@ def make_handler(cfg, model, size, stats):
             dt = time.perf_counter() - t0
             stats["n"] += 1
             stats["t"] += dt
-            out = visuals["fake_A"][0].astype(np.float32)
+            # tensor2im semantics (cfen_vit_tpu/utils/images.py): the model's
+            # uint8-wire path already yields uint8 [0,255] visuals — convert
+            # only float [-1,1] outputs (re-converting uint8 saturated every
+            # pixel to 255; advisor finding r1).
+            out = visuals["fake_A"][0]
+            if out.dtype != np.uint8:
+                out = ((out.astype(np.float32) + 1) / 2 * 255) \
+                    .clip(0, 255).astype(np.uint8)
             png = io.BytesIO()
-            Image.fromarray(((out + 1) / 2 * 255).clip(0, 255)
-                            .astype(np.uint8)).save(png, "PNG")
+            Image.fromarray(out).save(png, "PNG")
             body = png.getvalue()
             self.send_response(200)
             self.send_header("Content-Type", "image/png")

@@ -42,12 +42,13 @@ def server(tmp_path_factory):
                        serve_mod.make_handler(cfg, model, size, stats))
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
-    yield f"http://127.0.0.1:{httpd.server_port}"
+    yield {"url": f"http://127.0.0.1:{httpd.server_port}",
+           "model": model, "cfg": cfg}
     httpd.shutdown()
 
 
 def test_healthz(server):
-    with urllib.request.urlopen(f"{server}/healthz") as r:
+    with urllib.request.urlopen(f"{server['url']}/healthz") as r:
         data = json.loads(r.read())
     assert data["status"] == "ok" and data["input_size"] == 128
 
@@ -56,7 +57,7 @@ def test_dehaze_roundtrip(server, rng):
     buf = io.BytesIO()
     Image.fromarray((rng.rand(128, 128, 3) * 255).astype(np.uint8)) \
         .save(buf, "PNG")
-    req = urllib.request.Request(f"{server}/dehaze", data=buf.getvalue(),
+    req = urllib.request.Request(f"{server['url']}/dehaze", data=buf.getvalue(),
                                  method="POST")
     with urllib.request.urlopen(req) as r:
         assert r.headers["Content-Type"] == "image/png"
@@ -68,7 +69,7 @@ def test_dehaze_resizes_mismatched_input(server, rng):
     buf = io.BytesIO()
     Image.fromarray((rng.rand(200, 300, 3) * 255).astype(np.uint8)) \
         .save(buf, "PNG")
-    req = urllib.request.Request(f"{server}/dehaze", data=buf.getvalue(),
+    req = urllib.request.Request(f"{server['url']}/dehaze", data=buf.getvalue(),
                                  method="POST")
     with urllib.request.urlopen(req) as r:
         out = np.asarray(Image.open(io.BytesIO(r.read())))
@@ -76,10 +77,37 @@ def test_dehaze_resizes_mismatched_input(server, rng):
 
 
 def test_dehaze_rejects_garbage(server):
-    req = urllib.request.Request(f"{server}/dehaze", data=b"not an image",
+    req = urllib.request.Request(f"{server['url']}/dehaze", data=b"not an image",
                                  method="POST")
     try:
         urllib.request.urlopen(req)
         assert False, "should have errored"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_dehaze_content_matches_model(server, rng):
+    """Served PNG must be byte-identical to the model's own fake_A visual.
+
+    Regression for advisor r1 high: the u8-wire model already returns uint8
+    visuals, and serve.py re-applied the [-1,1]->uint8 conversion, turning
+    nearly every pixel white.
+    """
+    pix = (rng.rand(128, 128, 3) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(pix).save(buf, "PNG")
+    req = urllib.request.Request(f"{server['url']}/dehaze",
+                                 data=buf.getvalue(), method="POST")
+    with urllib.request.urlopen(req) as r:
+        got = np.asarray(Image.open(io.BytesIO(r.read())))
+
+    model, cfg = server["model"], server["cfg"]
+    x = pix.astype(np.float32)[None] / 255.0 * 2 - 1  # handler's preprocess
+    model.set_input({"B": x, "B_paths": ["t"]})
+    want = model.test(cfg)["fake_A"][0]
+    if want.dtype != np.uint8:
+        want = ((want.astype(np.float32) + 1) / 2 * 255) \
+            .clip(0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+    # and the output is not the saturated-white image the bug produced
+    assert (got == 255).mean() < 0.5
