@@ -41,8 +41,10 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import nn as N
+from ..ops.patch import unfold_tokens, fold_tokens
 from ..ops.tiles import split_tiles, join_tiles
-from .vit import ViTSpec, vit_init, vit_apply
+from .vit import (ViTSpec, vit_init, vit_apply, vit_tokens_apply,
+                  vit_shrink_apply)
 
 
 # --------------------------------------------------------------------------
@@ -394,11 +396,27 @@ def cfs_apply(p, d, r, s):
 # --------------------------------------------------------------------------
 
 def _local_vit(p, spec: GenSpec, lvl: int, x, an, path):
-    """Batched tile attention — replaces the reference Crop2x2/Join2x2 tree."""
+    """Batched tile attention — replaces the reference Crop2x2/Join2x2 tree.
+
+    The v5 shrink/extend 1x1 convs are pointwise and applied on the full
+    map, which commutes exactly with tiling (same elements per channel, so
+    even the data-dependent ActNorm stats match).  Tokenization stays the
+    two-step split_tiles+unfold pair: a single fused 8-D transpose was
+    measured SLOWER on TPU (1.19 vs 0.78 ms per direction at the canonical
+    geometry — the copy engine decomposes 8-D permutes worse than two 6-D
+    ones; scripts/profile_hlo.py, r2)."""
+    vs = spec.lvit_spec(lvl)
     b, h, w, _ = x.shape
+    if vs.shrink > 1:
+        x = vit_shrink_apply(p, "conv_shrink", x, an, path)
     tiles = split_tiles(x, spec.patch_size)
-    tiles = vit_apply(p, spec.lvit_spec(lvl), tiles, an_ctx=an, path=path)
-    return join_tiles(tiles, b, h, w)
+    t = unfold_tokens(tiles, vs.patch_dim)
+    t = vit_tokens_apply(p, vs, t)
+    x = join_tiles(fold_tokens(t, vs.patch_dim, spec.patch_size,
+                               spec.patch_size), b, h, w)
+    if vs.shrink > 1:
+        x = vit_shrink_apply(p, "conv_extend", x, an, path)
+    return x
 
 
 def _fuse(p, spec: GenSpec, key: str, lv, gv, res, an):

@@ -180,25 +180,10 @@ def vit_init(key, spec: ViTSpec):
     return p
 
 
-def vit_apply(p, spec: ViTSpec, x, an_ctx=None, path=()):
-    """Apply the ViT block to NHWC maps.
-
-    x: [N, img_dim*(2**global_pools), ..., C].  Returns same shape.
-    an_ctx: optional ActNorm context (see generator._ANCtx) used by the v5
-    shrink convs — the only stateful norm inside a ViT block.
-    """
-    if spec.global_pools:
-        for _ in range(spec.global_pools):
-            x = avg_pool2(x)
-
-    if spec.shrink > 1:
-        y = N.conv2d(p["conv_shrink"]["conv"], x)
-        y = (an_ctx(p["conv_shrink"]["an"], y, path + ("conv_shrink", "an"))
-             if an_ctx else N.actnorm_apply(p["conv_shrink"]["an"], y))
-        x = N.relu(y)
-
-    n, h, w, c = x.shape
-    t = unfold_tokens(x, spec.patch_dim)          # [N, S, flatten]
+def vit_tokens_apply(p, spec: ViTSpec, t):
+    """The token pipeline: linear_encoding -> pos -> encoder layers ->
+    mlp_head, on [N, S, flatten] tokens (ref LViT.forward :1140-1186 minus
+    the fold/unfold, which callers own)."""
     if not spec.no_mlp:
         t = N.linear(p["linear_encoding"], t) + t
     pos = p.get("pos")
@@ -211,13 +196,40 @@ def vit_apply(p, spec: ViTSpec, x, an_ctx=None, path=()):
     if not spec.no_mlp:
         t = N.linear(p["mlp_head"]["l2"],
                      N.relu(N.linear(p["mlp_head"]["l1"], t))) + t
+    return t
+
+
+def vit_shrink_apply(p, key, x, an_ctx=None, path=()):
+    """v5 1x1 conv + ActNorm + ReLU bottleneck (key: conv_shrink or
+    conv_extend).  Pointwise, so it commutes with tile split/join — the
+    generator applies it on the full map before/after tokenization."""
+    y = N.conv2d(p[key]["conv"], x)
+    y = (an_ctx(p[key]["an"], y, path + (key, "an"))
+         if an_ctx else N.actnorm_apply(p[key]["an"], y))
+    return N.relu(y)
+
+
+def vit_apply(p, spec: ViTSpec, x, an_ctx=None, path=()):
+    """Apply the ViT block to NHWC maps.
+
+    x: [N, img_dim*(2**global_pools), ..., C].  Returns same shape.
+    an_ctx: optional ActNorm context (see generator._ANCtx) used by the v5
+    shrink convs — the only stateful norm inside a ViT block.
+    """
+    if spec.global_pools:
+        for _ in range(spec.global_pools):
+            x = avg_pool2(x)
+
+    if spec.shrink > 1:
+        x = vit_shrink_apply(p, "conv_shrink", x, an_ctx, path)
+
+    n, h, w, c = x.shape
+    t = unfold_tokens(x, spec.patch_dim)          # [N, S, flatten]
+    t = vit_tokens_apply(p, spec, t)
     x = fold_tokens(t, spec.patch_dim, h, w)
 
     if spec.shrink > 1:
-        y = N.conv2d(p["conv_extend"]["conv"], x)
-        y = (an_ctx(p["conv_extend"]["an"], y, path + ("conv_extend", "an"))
-             if an_ctx else N.actnorm_apply(p["conv_extend"]["an"], y))
-        x = N.relu(y)
+        x = vit_shrink_apply(p, "conv_extend", x, an_ctx, path)
 
     if spec.global_pools:
         for _ in range(spec.global_pools):
