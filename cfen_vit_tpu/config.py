@@ -167,6 +167,11 @@ class Config:
     grad_accum: int = 1               # micro-batch gradient accumulation
                                       # (batchSize must divide; one micro-
                                       # batch of activations live at a time)
+    vgg19_npz: str = ""               # pretrained VGG19 weights (.npz from
+                                      # scripts/export_vgg19_npz.py) for the
+                                      # perceptual losses; falls back to
+                                      # $CFEN_VGG19_NPZ, then to the seeded
+                                      # random tower (no egress here)
 
     def __post_init__(self):
         if isinstance(self.gpu_ids, str):

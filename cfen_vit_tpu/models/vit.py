@@ -180,10 +180,19 @@ def vit_init(key, spec: ViTSpec):
     return p
 
 
-def vit_tokens_apply(p, spec: ViTSpec, t):
+def vit_tokens_apply(p, spec: ViTSpec, t, allow_pallas: bool = True):
     """The token pipeline: linear_encoding -> pos -> encoder layers ->
     mlp_head, on [N, S, flatten] tokens (ref LViT.forward :1140-1186 minus
-    the fold/unfold, which callers own)."""
+    the fold/unfold, which callers own).
+
+    On TPU the whole pipeline dispatches to the fully-fused Pallas kernel
+    (ops/pallas_vit.py) when the block's weights fit in VMEM; the plain
+    jnp path below is the reference implementation, the off-TPU fallback,
+    and the kernel's backward-pass recompute."""
+    if allow_pallas:
+        from ..ops import pallas_vit as PV
+        if PV.use_pallas_vit() and PV.supported(p, spec):
+            return PV.fused_vit_tokens(p, spec, t)
     if not spec.no_mlp:
         t = N.linear(p["linear_encoding"], t) + t
     pos = p.get("pos")

@@ -157,7 +157,8 @@ class GanTrainer:
             "step": jnp.zeros((), jnp.int32),
         }
         self.state = replicate(self.mesh, state)
-        self.vgg = replicate(self.mesh, vgg19_init())
+        self.vgg = replicate(self.mesh, vgg19_init(
+            npz_path=getattr(cfg, "vgg19_npz", "") or None))
         return self.state
 
     def setup(self, cfg=None):
