@@ -54,10 +54,13 @@ def test_sharded_forward_matches_single_device(rng):
                                    atol=2e-4)
 
 
-@pytest.mark.nightly
 def test_dp_train_step_matches_single_device(rng, tmp_path):
     """One GAN step on an 8-way mesh == the same step on 1 device (grads
-    are mean-reduced over the same global batch either way)."""
+    are mean-reduced over the same global batch either way).
+
+    Default tier (promoted from nightly per VERDICT r1 #10) so every run
+    exercises mesh>1 through the full jitted GAN step; remat off keeps the
+    two compiles cheap at this geometry."""
     from cfen_vit_tpu.config import Config
     from cfen_vit_tpu.train.trainer import GanTrainer
 
@@ -76,7 +79,7 @@ def test_dp_train_step_matches_single_device(rng, tmp_path):
                      isTrain=True, checkpoints_dir=str(tmp_path / "c"),
                      n_feats=8, loadSize=64, patch_size=8, num_heads=2,
                      hidden_dim_ratio=2, batchSize=8, pool_size=2,
-                     mesh_shape=mesh_shape, sb=True)
+                     mesh_shape=mesh_shape, sb=True, remat=False)
         tr = GanTrainer(cfg)
         tr.setup(cfg)
         tr.set_input(batch())
