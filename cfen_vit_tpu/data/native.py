@@ -52,6 +52,16 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.cfen_encode_png.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte),
             ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.cfen_decode_rgb_mem.restype = ctypes.c_void_p
+        lib.cfen_decode_rgb_mem.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.cfen_encode_png_mem.restype = ctypes.c_void_p
+        lib.cfen_encode_png_mem.argtypes = [
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_size_t)]
+        lib.cfen_free.restype = None
+        lib.cfen_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -91,3 +101,43 @@ def encode_png(path: str, rgb: np.ndarray, compress_level: int = 1) -> bool:
         path.encode(), a.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         a.shape[1], a.shape[0], compress_level)
     return rc == 0
+
+
+def decode_rgb_bytes(data: bytes) -> Optional[np.ndarray]:
+    """Decode JPEG/PNG request bytes to an RGB8 [H,W,3] array (serving
+    path, no filesystem); None -> caller falls back to PIL."""
+    lib = _load()
+    if lib is None:
+        return None
+    w = ctypes.c_int(0)
+    h = ctypes.c_int(0)
+    ptr = lib.cfen_decode_rgb_mem(data, len(data),
+                                  ctypes.byref(w), ctypes.byref(h))
+    if not ptr:
+        return None
+    try:
+        buf = ctypes.cast(ptr, ctypes.POINTER(
+            ctypes.c_ubyte * (w.value * h.value * 3))).contents
+        return np.frombuffer(buf, dtype=np.uint8).reshape(
+            h.value, w.value, 3).copy()
+    finally:
+        lib.cfen_free(ptr)
+
+
+def encode_png_bytes(rgb: np.ndarray,
+                     compress_level: int = 1) -> Optional[bytes]:
+    """Encode RGB8 [H,W,3] to PNG bytes natively; None -> PIL fallback."""
+    lib = _load()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(rgb, dtype=np.uint8)
+    out_len = ctypes.c_size_t(0)
+    ptr = lib.cfen_encode_png_mem(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        a.shape[1], a.shape[0], compress_level, ctypes.byref(out_len))
+    if not ptr:
+        return None
+    try:
+        return ctypes.string_at(ptr, out_len.value)
+    finally:
+        lib.cfen_free(ptr)

@@ -209,3 +209,152 @@ extern "C" int cfen_encode_png(const char* path, const unsigned char* rgb,
     fclose(f);
     return 0;
 }
+
+// ---------------------------------------------------------------------------
+// In-memory codecs for the serving path (serve.py): decode request bytes,
+// encode response bytes, no filesystem round-trip.  Buffers returned here
+// are malloc'd; the caller releases them with cfen_free.
+
+extern "C" void cfen_free(void* p) { free(p); }
+
+namespace {
+
+struct PngMemReader {
+    const unsigned char* data;
+    size_t len;
+    size_t pos;
+};
+
+void png_mem_read(png_structp png, png_bytep out, png_size_t n) {
+    PngMemReader* r = static_cast<PngMemReader*>(png_get_io_ptr(png));
+    if (r->pos + n > r->len) png_error(png, "read past end");
+    memcpy(out, r->data + r->pos, n);
+    r->pos += n;
+}
+
+struct PngMemWriter {
+    unsigned char* data;
+    size_t len;
+    size_t cap;
+};
+
+void png_mem_write(png_structp png, png_bytep in, png_size_t n) {
+    PngMemWriter* wtr = static_cast<PngMemWriter*>(png_get_io_ptr(png));
+    if (wtr->len + n > wtr->cap) {
+        size_t cap = wtr->cap ? wtr->cap * 2 : 65536;
+        while (cap < wtr->len + n) cap *= 2;
+        wtr->data = static_cast<unsigned char*>(realloc(wtr->data, cap));
+        wtr->cap = cap;
+    }
+    memcpy(wtr->data + wtr->len, in, n);
+    wtr->len += n;
+}
+
+void png_mem_flush(png_structp) {}
+
+}  // namespace
+
+// Decode JPEG/PNG from memory to RGB8. Returns malloc'd buffer (caller
+// frees with cfen_free) or nullptr.
+extern "C" unsigned char* cfen_decode_rgb_mem(const unsigned char* data,
+                                              size_t len, int* w, int* h) {
+    if (len >= 2 && data[0] == 0xFF && data[1] == 0xD8) {
+        jpeg_decompress_struct cinfo;
+        JpegErr jerr;
+        cinfo.err = jpeg_std_error(&jerr.pub);
+        jerr.pub.error_exit = jpeg_err_exit;
+        unsigned char* buf = nullptr;
+        if (setjmp(jerr.jump)) {
+            jpeg_destroy_decompress(&cinfo);
+            free(buf);
+            return nullptr;
+        }
+        jpeg_create_decompress(&cinfo);
+        jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data),
+                     static_cast<unsigned long>(len));
+        jpeg_read_header(&cinfo, TRUE);
+        cinfo.out_color_space = JCS_RGB;
+        jpeg_start_decompress(&cinfo);
+        *w = cinfo.output_width;
+        *h = cinfo.output_height;
+        buf = static_cast<unsigned char*>(malloc(size_t(*w) * *h * 3));
+        while (cinfo.output_scanline < cinfo.output_height) {
+            unsigned char* row = buf + size_t(cinfo.output_scanline) * *w * 3;
+            jpeg_read_scanlines(&cinfo, &row, 1);
+        }
+        jpeg_finish_decompress(&cinfo);
+        jpeg_destroy_decompress(&cinfo);
+        return buf;
+    }
+    if (len >= 8 && png_sig_cmp(const_cast<png_bytep>(data), 0, 8) == 0) {
+        png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING,
+                                                 nullptr, nullptr, nullptr);
+        if (!png) return nullptr;
+        png_infop info = png_create_info_struct(png);
+        if (!info) {
+            png_destroy_read_struct(&png, nullptr, nullptr);
+            return nullptr;
+        }
+        unsigned char* buf = nullptr;
+        std::vector<png_bytep> rows;
+        PngMemReader reader{data, len, 0};
+        if (setjmp(png_jmpbuf(png))) {
+            png_destroy_read_struct(&png, &info, nullptr);
+            free(buf);
+            return nullptr;
+        }
+        png_set_read_fn(png, &reader, png_mem_read);
+        png_read_info(png, info);
+        png_set_expand(png);
+        png_set_strip_16(png);
+        png_set_strip_alpha(png);
+        png_set_gray_to_rgb(png);
+        png_read_update_info(png, info);
+        *w = png_get_image_width(png, info);
+        *h = png_get_image_height(png, info);
+        buf = static_cast<unsigned char*>(malloc(size_t(*w) * *h * 3));
+        rows.resize(*h);
+        for (int y = 0; y < *h; ++y) rows[y] = buf + size_t(y) * *w * 3;
+        png_read_image(png, rows.data());
+        png_read_end(png, nullptr);
+        png_destroy_read_struct(&png, &info, nullptr);
+        return buf;
+    }
+    return nullptr;
+}
+
+// Encode RGB8 to an in-memory PNG. Returns malloc'd buffer + *out_len, or
+// nullptr.  compress_level 1 = fast (the serving default).
+extern "C" unsigned char* cfen_encode_png_mem(const unsigned char* rgb,
+                                              int W, int H,
+                                              int compress_level,
+                                              size_t* out_len) {
+    png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING,
+                                              nullptr, nullptr, nullptr);
+    if (!png) return nullptr;
+    png_infop info = png_create_info_struct(png);
+    if (!info) {
+        png_destroy_write_struct(&png, nullptr);
+        return nullptr;
+    }
+    PngMemWriter wtr{nullptr, 0, 0};
+    if (setjmp(png_jmpbuf(png))) {
+        png_destroy_write_struct(&png, &info);
+        free(wtr.data);
+        return nullptr;
+    }
+    png_set_write_fn(png, &wtr, png_mem_write, png_mem_flush);
+    png_set_compression_level(png, compress_level);
+    png_set_IHDR(png, info, W, H, 8, PNG_COLOR_TYPE_RGB,
+                 PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+                 PNG_FILTER_TYPE_DEFAULT);
+    png_write_info(png, info);
+    std::vector<png_bytep> rows(H);
+    for (int y = 0; y < H; ++y)
+        rows[y] = const_cast<png_bytep>(rgb + size_t(y) * W * 3);
+    png_write_image(png, rows.data());
+    png_write_end(png, nullptr);
+    png_destroy_write_struct(&png, &info);
+    *out_len = wtr.len;
+    return wtr.data;
+}

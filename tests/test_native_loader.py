@@ -85,3 +85,28 @@ def test_mixed_size_batch_clear_error(tmp_path):
                  name="m", checkpoints_dir=str(tmp_path / "c"))
     with pytest.raises(ValueError, match="mixes image sizes"):
         list(create_dataloader(cfg))
+
+
+def test_mem_codec_roundtrip(rng):
+    """In-memory decode/encode (serving path) — exact byte roundtrip."""
+    import io
+    from PIL import Image
+    from cfen_vit_tpu.data import native
+    if not native.available():
+        import pytest
+        pytest.skip("native runtime unavailable")
+    img = (rng.rand(64, 48, 3) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "PNG")
+    dec = native.decode_rgb_bytes(buf.getvalue())
+    np.testing.assert_array_equal(dec, img)
+    enc = native.encode_png_bytes(img)
+    back = np.asarray(Image.open(io.BytesIO(enc)))
+    np.testing.assert_array_equal(back, img)
+    # jpeg decodes too (lossy, just shape/type)
+    jb = io.BytesIO()
+    Image.fromarray(img).save(jb, "JPEG", quality=95)
+    dj = native.decode_rgb_bytes(jb.getvalue())
+    assert dj.shape == img.shape and dj.dtype == np.uint8
+    # garbage -> None (PIL fallback path)
+    assert native.decode_rgb_bytes(b"not an image") is None

@@ -111,3 +111,47 @@ def test_dehaze_content_matches_model(server, rng):
     np.testing.assert_array_equal(got, want)
     # and the output is not the saturated-white image the bug produced
     assert (got == 255).mean() < 0.5
+
+
+def test_concurrent_requests_batch(server, rng):
+    """Concurrent requests coalesce into one device call (micro-batching,
+    VERDICT r1 weak #8)."""
+    import http.server
+    from tests.ref_utils import load_repo_module
+    serve_mod = load_repo_module('serve')
+
+    stats = {}
+    httpd = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        serve_mod.make_handler(server["cfg"], server["model"], 128, stats,
+                               max_batch=4, window_ms=300.0))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{httpd.server_port}/dehaze"
+    try:
+        bufs = []
+        for i in range(4):
+            b = io.BytesIO()
+            Image.fromarray((rng.rand(128, 128, 3) * 255)
+                            .astype(np.uint8)).save(b, "PNG")
+            bufs.append(b.getvalue())
+
+        outs = [None] * 4
+
+        def post(i):
+            req = urllib.request.Request(url, data=bufs[i], method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                outs[i] = np.asarray(Image.open(io.BytesIO(r.read())))
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert all(o is not None and o.shape == (128, 128, 3) for o in outs)
+        # with a 300ms window and simultaneous posts, at least one device
+        # call must have carried more than one request
+        assert stats.get("max_seen", 0) >= 2, stats
+    finally:
+        httpd.shutdown()
