@@ -130,20 +130,27 @@ def import_generator_state_dict(sd, spec: GenSpec):
         return _vit(sd, prefix, spec.num_layers, spec.no_mlp, spec.no_pos,
                     shrink)
 
-    for lvl in (1, 2, 3):
-        if lvl > 1:
-            p[f"ds_e0{lvl}"] = {"conv": _conv(sd, f"ds_conv_e0{lvl}.0")}
-        if spec.use_local:
-            p[f"lvit_e0{lvl}"] = vit_in(f"localvit_encoder_0{lvl}", lvl,
-                                        True, True)
-        if spec.use_global:
-            p[f"gvit_e0{lvl}"] = vit_in(f"globalvit_encoder_0{lvl}", lvl,
-                                        True, False)
-        if spec.use_local and spec.use_global and spec.fusion == "cat":
-            p[f"lgcat_e0{lvl}"] = {"conv": _conv(sd, f"lgcat_conv_e0{lvl}.0")}
-            if spec.lgcat_norm == "actnorm":
-                p[f"lgcat_e0{lvl}"]["an"] = _actnorm(
-                    sd, f"lgcat_conv_e0{lvl}.1")
+    # dec_ipt runs one encoder per branch: R = unsuffixed modules, S = 's'
+    # suffix (ref dec_ipt.py:275-871); shared-encoder files use one set.
+    enc_pairs = ([(b, "" if b == "r" else b) for b in spec.branches]
+                 if spec.separate_encoders else [("", "")])
+    for be, ref_sfx in enc_pairs:
+        for lvl in (1, 2, 3):
+            if lvl > 1:
+                p[f"ds_e0{lvl}{be}"] = {
+                    "conv": _conv(sd, f"ds_conv_e0{lvl}{ref_sfx}.0")}
+            if spec.use_local:
+                p[f"lvit_e0{lvl}{be}"] = vit_in(
+                    f"localvit_encoder_0{lvl}{ref_sfx}", lvl, True, True)
+            if spec.use_global:
+                p[f"gvit_e0{lvl}{be}"] = vit_in(
+                    f"globalvit_encoder_0{lvl}{ref_sfx}", lvl, True, False)
+            if spec.use_local and spec.use_global and spec.fusion == "cat":
+                p[f"lgcat_e0{lvl}{be}"] = {
+                    "conv": _conv(sd, f"lgcat_conv_e0{lvl}{ref_sfx}.0")}
+                if spec.lgcat_norm == "actnorm":
+                    p[f"lgcat_e0{lvl}{be}"]["an"] = _actnorm(
+                        sd, f"lgcat_conv_e0{lvl}{ref_sfx}.1")
 
     # single-decoder files name their decoder ViTs without a branch suffix
     # (ipt.py:134-168; networks_iidn_* constructs `localvit_decoder_03` but
@@ -151,7 +158,10 @@ def import_generator_state_dict(sd, spec: GenSpec):
     # from the constructed names)
     plain_suffix = spec.ipt_style or spec.branches == "d"
     for b in spec.branches:
-        sfx = "" if plain_suffix else b
+        if spec.separate_encoders:
+            sfx = "" if b == "r" else b     # dec_ipt decoder naming
+        else:
+            sfx = "" if plain_suffix else b
         for lvl in (3, 2, 1):
             if spec.use_local:
                 p[f"lvit_d0{lvl}{b}"] = vit_in(
@@ -167,9 +177,10 @@ def import_generator_state_dict(sd, spec: GenSpec):
                         sd, f"lgcat_conv_d0{lvl}{b}.1")
         if spec.ipt_style:
             # ipt.py names its decoder transpose-convs us_conv_e03/e02
-            # (ref ipt.py:189-192), both InstanceNorm
-            p[f"us_d03{b}"] = {"conv": _convT(sd, "us_conv_e03.0")}
-            p[f"us_d02{b}"] = {"conv": _convT(sd, "us_conv_e02.0")}
+            # (ref ipt.py:189-192), both InstanceNorm; dec_ipt adds the
+            # per-branch suffix (us_conv_e03s for S, ref dec_ipt.py:260-268)
+            p[f"us_d03{b}"] = {"conv": _convT(sd, f"us_conv_e03{sfx}.0")}
+            p[f"us_d02{b}"] = {"conv": _convT(sd, f"us_conv_e02{sfx}.0")}
             continue
         p[f"us_d03{b}"] = {"conv": _convT(sd, f"us_conv_d03{b}.0")}
         p[f"us_d02{b}"] = {"conv": _convT(sd, f"us_conv_d02{b}.0"),
@@ -208,7 +219,9 @@ def import_generator_state_dict(sd, spec: GenSpec):
     for b in spec.branches:
         if spec.shared_tails and b == "d" and "r" in spec.branches:
             continue
-        if spec.ipt_style:
+        if spec.separate_encoders:
+            name = "tail_gray" if b == "s" else "tail_color"
+        elif spec.ipt_style:
             name = "tail"
         elif spec.shared_tails or spec.branches == "d":
             name = "tail_gray" if b == "s" else "tail_color"

@@ -34,6 +34,7 @@ _MODEL_DEFAULT_G = {
     "decs_vit": "iids_hlgvit_crs_gd4",
     "decn_vit": "iidn_hlgvit_crs_gd4",
     "vit": "ipt",
+    "dec_mgvit": "dec_ipt",
     "test": None,
 }
 
@@ -155,7 +156,12 @@ class DehazingModel:
             return a if a.dtype == np.uint8 else a.astype(np.float32)
         self.visuals = {"real_B": host(self.real_B)}
         for b, arr in out.items():
-            self.visuals[_VISUAL[b]] = host(arr)
+            name = _VISUAL[b]
+            if b == "dh" and "d" not in self.spec.branches:
+                # dec_ipt: the refined xdh IS the dehazed output
+                # (ref dec_mgvit_model.py:90 unpacks it as fake_A)
+                name = "fake_A"
+            self.visuals[name] = host(arr)
         return self.visuals
 
     def get_current_visuals(self) -> Dict[str, np.ndarray]:
@@ -175,7 +181,7 @@ def _exists(cfg, epoch):
 def create_model(cfg):
     """Reference-parity factory (models/__init__.py:3-29)."""
     if cfg.model in ("dec_vit", "decr_vit", "decs_vit", "decn_vit", "test",
-                     "vit"):
+                     "vit", "dec_mgvit"):
         if cfg.isTrain:
             from ..train.trainer import GanTrainer
             return GanTrainer(cfg)

@@ -79,6 +79,24 @@ class GenSpec:
                                   # plain residual decoder skips, IN tail,
                                   # no +xf before the tail (ref ipt.py:
                                   # 151-296)
+    separate_encoders: bool = False  # models/dec_ipt.py: each branch runs
+                                  # its OWN encoder over the shared stem
+                                  # (R = unsuffixed modules, S = 's' suffix;
+                                  # ref dec_ipt.py:275-871)
+    s_dec_from_r_enc: bool = False  # dec_ipt quirk: the S decoder starts
+                                  # from the R encoder's level-3 output
+                                  # (`x = x_e_03`, ref dec_ipt.py:722 —
+                                  # copy-paste bug, silent because shapes
+                                  # match; s_e_03 is computed then unused);
+                                  # reproduced for checkpoint parity
+    s_dec1_ru_zero: bool = False  # dec_ipt quirk #2: in the S decoder's
+                                  # level-1 LViT, the top-right quadrant
+                                  # join assigns to the stale R-branch
+                                  # variable (`xru_lv = join2x2(xru_lv,
+                                  # x...)`, ref dec_ipt.py:841), leaving
+                                  # sru_lv as Crop2x2's zeros canvas — the
+                                  # final local map's ru quadrant is ZERO
+                                  # (those 16 tile results are discarded)
     # tail norm varies per variant file: v3/v5/cfs/gd4/cnn use ActNorm on the
     # color tails and none on the 1-channel S tail; lvit/gvit/vit/iidn use
     # ActNorm on ALL tails; add/gd2/iidr/iids (and ipt) use InstanceNorm
@@ -218,26 +236,30 @@ def generator_init(key, spec: GenSpec):
                  "c2": N.conv_init(nxt(), 3, 3, c, c),
                  "an2": N.actnorm_init(c)} for _ in range(2)]
 
-    # encoder
-    for lvl in (1, 2, 3):
-        c = spec.level_channels(lvl)
-        if lvl > 1:
-            p[f"ds_e0{lvl}"] = {"conv": N.conv_init(nxt(), 3, 3, c // 2, c)}
-            if spec.ds_norm == "actnorm":
-                p[f"ds_e0{lvl}"]["an"] = N.actnorm_init(c)
-        if spec.cnn:
-            p[f"cnn_e0{lvl}"] = level_blocks(lvl)
-            continue
-        if spec.use_local:
-            p[f"lvit_e0{lvl}"] = vit_init(nxt(), spec.lvit_spec(lvl))
-        if spec.use_global:
-            p[f"gvit_e0{lvl}"] = vit_init(nxt(), spec.gvit_spec(lvl, True))
-        if spec.use_local and spec.use_global and spec.fusion == "cat":
-            if spec.lgcat_norm == "actnorm":
-                p[f"lgcat_e0{lvl}"] = _can(nxt(), 1, 1, 2 * c, c)
-            else:
-                p[f"lgcat_e0{lvl}"] = {"conv": N.conv_init(nxt(), 1, 1,
-                                                           2 * c, c)}
+    # encoder(s): one shared, or one per branch (dec_ipt)
+    enc_suffixes = list(spec.branches) if spec.separate_encoders else [""]
+    for be in enc_suffixes:
+        for lvl in (1, 2, 3):
+            c = spec.level_channels(lvl)
+            if lvl > 1:
+                p[f"ds_e0{lvl}{be}"] = {"conv": N.conv_init(nxt(), 3, 3,
+                                                            c // 2, c)}
+                if spec.ds_norm == "actnorm":
+                    p[f"ds_e0{lvl}{be}"]["an"] = N.actnorm_init(c)
+            if spec.cnn:
+                p[f"cnn_e0{lvl}{be}"] = level_blocks(lvl)
+                continue
+            if spec.use_local:
+                p[f"lvit_e0{lvl}{be}"] = vit_init(nxt(), spec.lvit_spec(lvl))
+            if spec.use_global:
+                p[f"gvit_e0{lvl}{be}"] = vit_init(nxt(),
+                                                  spec.gvit_spec(lvl, True))
+            if spec.use_local and spec.use_global and spec.fusion == "cat":
+                if spec.lgcat_norm == "actnorm":
+                    p[f"lgcat_e0{lvl}{be}"] = _can(nxt(), 1, 1, 2 * c, c)
+                else:
+                    p[f"lgcat_e0{lvl}{be}"] = {"conv": N.conv_init(
+                        nxt(), 1, 1, 2 * c, c)}
 
     # decoders
     for b in spec.branches:
@@ -363,7 +385,11 @@ def spatial_pyramid_apply(p, x):
         y = lrelu(N.conv2d(p[name], pooled))
         outs.append(_resize_align_corners(y, h, w))
     cat = jnp.concatenate(outs[1:] + [outs[0]], axis=-1)
-    return jnp.tanh(N.conv2d(p["refine3"], cat, padding=1))
+    # the reference applies tanh TWICE: refine3 is Sequential(conv, Tanh)
+    # and forward wraps it in self.tanh again (`self.tanh(self.refine3(x))`,
+    # ref networks_iidr_hlgvit_crs_gd4.py:1277, dec_ipt.py:1362) — silent,
+    # baked into any trained checkpoint, so reproduced
+    return jnp.tanh(jnp.tanh(N.conv2d(p["refine3"], cat, padding=1)))
 
 
 def cfs_init(key, c: int):
@@ -451,6 +477,11 @@ def _level(p, spec: GenSpec, x, lvl: int, prefix: str, an):
         return _resblock(p[key], x, an, (key,)) + x
     lv = (_local_vit(p[f"lvit_{prefix}"], spec, lvl, x, an,
                      (f"lvit_{prefix}",)) if spec.use_local else None)
+    if lv is not None and spec.s_dec1_ru_zero and prefix == "d01s":
+        # dec_ipt.py:841 quirk: the S decoder level-1 ru quadrant of the
+        # local map stays the Crop2x2 zeros canvas (see GenSpec)
+        h2, w2 = lv.shape[1] // 2, lv.shape[2] // 2
+        lv = lv.at[:, :h2, w2:, :].set(0.0)
     gv = (vit_apply(p[f"gvit_{prefix}"],
                     spec.gvit_spec(lvl, prefix.startswith("e")), x,
                     an_ctx=an, path=(f"gvit_{prefix}",))
@@ -488,20 +519,27 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None,
         xf = N.relu(N.instance_norm(
             N.conv2d(p["ds_e01"]["conv"], xf, stride=2, padding=1)))
 
-    # shared encoder
-    x_e = {}
-    cur = xf
-    for lvl in (1, 2, 3):
-        if lvl > 1:
-            key = f"ds_e0{lvl}"
-            cur = N.conv2d(p[key]["conv"], cur, stride=2, padding=1)
-            if spec.ds_norm == "actnorm":
-                cur = an(p[key]["an"], cur, (key, "an"))
-            else:
-                cur = N.instance_norm(cur)
-            cur = N.relu(cur)
-        x_e[lvl] = level_fn(p, spec, cur, lvl, f"e0{lvl}", an)
-        cur = x_e[lvl]
+    # encoder(s): shared, or one per branch over the same stem (dec_ipt,
+    # ref dec_ipt.py:275-871 — R uses the unsuffixed modules, S the 's' set)
+    enc_suffixes = list(spec.branches) if spec.separate_encoders else [""]
+    x_e_by = {}
+    for be in enc_suffixes:
+        x_e = {}
+        cur = xf
+        for lvl in (1, 2, 3):
+            if lvl > 1:
+                key = f"ds_e0{lvl}{be}"
+                cur = N.conv2d(p[key]["conv"], cur, stride=2, padding=1)
+                if spec.ds_norm == "actnorm":
+                    cur = an(p[key]["an"], cur, (key, "an"))
+                else:
+                    cur = N.instance_norm(cur)
+                cur = N.relu(cur)
+            x_e[lvl] = level_fn(p, spec, cur, lvl, f"e0{lvl}{be}", an)
+            cur = x_e[lvl]
+        x_e_by[be] = x_e
+    enc_of = (lambda b: x_e_by[b]) if spec.separate_encoders else (
+        lambda b: x_e_by[""])
 
     # decoders: R and S first, D last (consumes their us intermediates,
     # ref v3:885, :920)
@@ -511,7 +549,9 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None,
         ["d"] if "d" in spec.branches else [])
     lvl_out: Dict[str, Dict[int, jnp.ndarray]] = {}
     for b in order:
-        cur = x_e[3]
+        cur = enc_of(b)[3]
+        if b == "s" and spec.s_dec_from_r_enc and "r" in spec.branches:
+            cur = enc_of("r")[3]    # ref dec_ipt.py:722 copy-paste quirk
         us[b] = {}
         lvl_out[b] = {}
         for lvl in (3, 2, 1):
@@ -538,14 +578,14 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None,
                     cur = _apply_can(p[f"sk_d0{lvl}{b}"], cat, an,
                                      (f"sk_d0{lvl}{b}",))
                 elif spec.d_skip == "res":
-                    cur = u + x_e[lvl - 1]
+                    cur = u + enc_of(b)[lvl - 1]
                 elif b == "d" and spec.d_skip == "cat_partner":
                     partner = "r" if "r" in spec.branches else "s"
                     cat = jnp.concatenate([u, us[partner][lvl]], axis=-1)
                     cur = N.relu(N.instance_norm(
                         N.conv2d(p[f"sk_d0{lvl}{b}"]["conv"], cat)))
                 else:
-                    cat = jnp.concatenate([u, x_e[lvl - 1]], axis=-1)
+                    cat = jnp.concatenate([u, enc_of(b)[lvl - 1]], axis=-1)
                     cur = _apply_can(p[f"sk_d0{lvl}{b}"], cat, an,
                                      (f"sk_d0{lvl}{b}",))
         d1[b] = cur

@@ -84,6 +84,20 @@ _reg("iidn_hlgvit_crs_gd4", half_res_trunk=False, branches="d",
 # models/ipt.py — the single-output HLG-ViT behind `--model vit` (MGVIT)
 _reg("ipt", half_res_trunk=False, branches="d", fusion="add",
      d_skip="res", ipt_style=True, tail_norm="instance", s_tail_norm=True)
+# models/lgvit_add.py add_ipt — identical to ipt except the GViT pool count
+# follows --l2g_ratio (ref lgvit_add.py:739-745; its always-4x upsample
+# makes l2g_ratio=2 crash there — docs/REFERENCE_DEFECTS.md; ours is
+# consistent) and the tail drops the no-op Upsampler
+_reg("lgvit_add", half_res_trunk=False, branches="d", fusion="add",
+     d_skip="res", ipt_style=True, tail_norm="instance", s_tail_norm=True)
+# models/dec_ipt.py — the older two-branch net behind the (factory-less)
+# DECMGVIT trainer: shared stem, per-branch encoders+decoders (R unsuffixed,
+# S 's'-suffixed), add fusion, res skips, IN tails, SpatialPyramid refiner
+# over cat(input, xr, xs) (ref dec_ipt.py:275-871)
+_reg("dec_ipt", half_res_trunk=False, branches="rs", fusion="add",
+     d_skip="res", ipt_style=True, separate_encoders=True, xdh=True,
+     s_dec_from_r_enc=True, s_dec1_ru_zero=True,
+     tail_norm="instance", s_tail_norm=True)
 
 
 def generator_spec(name: str, cfg=None) -> GenSpec:
@@ -101,6 +115,11 @@ def generator_spec(name: str, cfg=None) -> GenSpec:
             hidden_dim_ratio=cfg.hidden_dim_ratio, load_size=cfg.loadSize,
             no_norm=cfg.no_norm, no_mlp=cfg.no_mlp,
             pos_every=cfg.pos_every, no_pos=cfg.no_pos)
+        if name == "lgvit_add":
+            # only lgvit_add consults --l2g_ratio (2x or 4x global pooling,
+            # ref lgvit_add.py:739-745); the other files hardcode 4x
+            ratio = int(getattr(cfg, "l2g_ratio", 4))
+            spec = replace(spec, global_pools={2: 1, 4: 2}[ratio])
     return spec
 
 

@@ -51,6 +51,7 @@ _MODEL_DEFAULT_G = {
     "decs_vit": "iids_hlgvit_crs_gd4",
     "decn_vit": "iidn_hlgvit_crs_gd4",
     "vit": "ipt",
+    "dec_mgvit": "dec_ipt",
 }
 
 
@@ -110,7 +111,16 @@ class GanTrainer:
         # MGVIT (--model vit, ref mgvit_model.py:90-123) trains the single-
         # output ipt generator with GAN+VGG+gradient+L1 only, one D.
         self.mgvit = cfg.model == "vit"
-        self.branches = {"d": "A"}
+        # DECMGVIT (ref dec_mgvit_model.py — no factory entry there, its
+        # imports crash; capability provided here): dec_ipt's refined xdh
+        # plays fake_A (ref :90), loss set GAN+VGG+gradient(x1)+L1 per
+        # branch, no SSIM/IDMRF/semantic (ref :141-182)
+        self.decmgvit = cfg.model == "dec_mgvit"
+        self.branches = {}
+        if "d" in self.spec.branches:
+            self.branches["d"] = "A"
+        elif self.spec.xdh:
+            self.branches["dh"] = "A"
         if "r" in self.spec.branches:
             self.branches["r"] = "R"
         if "s" in self.spec.branches:
@@ -188,7 +198,9 @@ class GanTrainer:
         out = generator_forward(g, self.spec, batch["B"],
                                 remat=cfg.remat)
         fakes, reals = {}, {}
-        fakes["A"] = out["d"]
+        # dec_ipt has no raw 'd' decoder; its SpatialPyramid-refined xdh is
+        # the dehazed output (ref dec_mgvit_model.py:90)
+        fakes["A"] = out["d"] if "d" in out else out["dh"]
         reals["A"] = batch["A"]
         if "r" in out:
             fakes["R"], reals["R"] = out["r"], batch["R"]
@@ -207,6 +219,26 @@ class GanTrainer:
             losses["gradient_fake_A"] = 0.2 * jnp.mean(jnp.square(
                 color_gradient(real) - color_gradient(fake)))
             losses["L1"] = jnp.mean(jnp.abs(real - fake)) * 3
+            total = sum(losses.values())
+            losses["G"] = total
+            return total, (losses, fakes, reals)
+        if self.decmgvit:
+            # DECMGVIT loss set (ref dec_mgvit_model.py:141-182): per branch
+            # GAN*0.0618 + VGG*2*lambda_vgg + gradient MSE*1 + L1*2; no
+            # SSIM/IDMRF/semantic terms
+            for name, fake in fakes.items():
+                real = reals[name]
+                lk = name.lower()
+                pred = apply_d(cfg, d[name],
+                               jnp.concatenate([hazy, fake], -1))
+                losses[f"GAN_{lk}"] = gan_loss(pred, True,
+                                               self.use_lsgan) * 0.0618
+                losses[f"vgg_{lk}"] = (vgg_perceptual_loss(vgg, fake, real)
+                                       * cfg.lambda_vgg * 2)
+                losses[f"gradient_fake_{lk}"] = jnp.mean(jnp.square(
+                    color_gradient(real) - color_gradient(fake)))
+                losses[f"L2_{lk}"] = jnp.mean(jnp.abs(real - fake)) * 2
+            losses = {k: v.astype(jnp.float32) for k, v in losses.items()}
             total = sum(losses.values())
             losses["G"] = total
             return total, (losses, fakes, reals)

@@ -29,7 +29,7 @@ def tiny_opt(**overrides):
         num_layers=1, hidden_dim_ratio=2, num_queries=1, dropout_rate=0.0,
         no_mlp=False, pos_every=False, no_pos=False, no_norm=False,
         loadSize=64, rgb_range=255, gpu_ids=[], init_type="kaiming",
-        scale=[1],
+        scale=[1], l2g_ratio=4,
     )
     for k, v in overrides.items():
         setattr(o, k, v)

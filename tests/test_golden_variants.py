@@ -30,6 +30,8 @@ CASES = [
     ("iid_gvit_crs_gd4", "networks_iid_gvit_crs_gd4",
      False, ["r", "s", "d"]),
     ("ipt", "ipt", False, ["d"]),
+    ("lgvit_add", "lgvit_add", False, ["d"]),
+    ("dec_ipt", "dec_ipt", False, ["r", "s", "dh"]),
 ]
 # iidr is NOT here: its reference forward crashes on an undefined `s_d_02`
 # (networks_iidr_hlgvit_crs_gd4.py:674) — see docs/REFERENCE_DEFECTS.md.

@@ -133,7 +133,8 @@ def test_train_step_bf16_remat(rng, tmp_path):
 @pytest.mark.nightly
 @pytest.mark.parametrize("model,expect_d", [
     ("decr_vit", {"A", "R"}), ("decs_vit", {"A", "S"}),
-    ("decn_vit", {"A"}), ("vit", {"A"})])
+    ("decn_vit", {"A"}), ("vit", {"A"}),
+    ("dec_mgvit", {"A", "R", "S"})])
 def test_wrapper_models_train_step(rng, tmp_path, model, expect_d):
     """One GAN step for each reference wrapper model (--model decr_vit /
     decs_vit / decn_vit / vit). The reference's own wrappers crash on
