@@ -138,6 +138,12 @@ class Config:
     unet_layer: int = 3
     dehazing_netG: str = "local"
     epdn_ngf: int = 32
+    num_D: int = 2                    # multiscale-D count for the EPDN/
+                                      # pix2pixHD trainer (upstream
+                                      # pix2pixHD default; the epdn fork's
+                                      # options module is not vendored)
+    lambda_feat: float = 10.0         # GAN feature-matching + VGG weight
+                                      # (ref epdn/pix2pixHD_model.py:180)
     n_downsample_global: int = 2
     n_blocks: int = 2
     no_dropout: bool = False
