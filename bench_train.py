@@ -60,13 +60,30 @@ def main():
     float(tr.get_current_losses()["G"])   # sync
     dt = (time.time() - t0) / args.iters
 
+    # train-step roofline (VERDICT r1 #6): cost-analysis FLOPs of the one
+    # jitted GAN step (G fwd+bwd, 3 VGG towers, IDMRF, 3 Ds fwd+bwd, Adam)
+    flops = 0.0
+    try:
+        import jax
+        import jax.numpy as jnp
+        comp = tr._step_fn.lower(
+            tr.state, tr._batch, tr.vgg,
+            jnp.asarray(tr.lr, jnp.float32)).compile()
+        flops = float(comp.cost_analysis().get("flops", 0.0))
+    except Exception as e:  # cost analysis is best-effort
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+
+    from cfen_vit_tpu.utils.profiling import mfu_line
     print(json.dumps({
         "metric": f"{args.size}x{args.size}_gan_train_step",
         "value": round(dt, 4), "unit": "s/step",
         "imgs_per_sec": round(args.batch / dt, 2),
         "batch": args.batch, "dtype": args.dtype, "remat": args.remat,
         "compile_s": round(compile_s, 1),
+        "gflops_per_img": round(flops / args.batch / 1e9, 1),
     }))
+    if flops:
+        print("# " + mfu_line(flops, dt), file=sys.stderr)
     g = float(tr.get_current_losses()["G"])
     print(f"# G loss {g:.3f} (finite: {np.isfinite(g)})", file=sys.stderr)
 

@@ -61,3 +61,25 @@ class StepTimer:
                 "p50_s": ts[n // 2],
                 "p95_s": ts[min(n - 1, int(n * 0.95))],
                 "steps": n}
+
+
+# bf16 peak FLOP/s per chip by device_kind substring (public spec sheets);
+# used for MFU accounting in bench.py / bench_train.py (VERDICT r1 #2/#6)
+_PEAKS = {"TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v4": 275e12,
+          "TPU v5p": 459e12, "TPU v6": 918e12}
+
+
+def device_peak_flops(device=None) -> Optional[float]:
+    dev = device or jax.devices()[0]
+    kind = getattr(dev, "device_kind", "")
+    return next((v for k, v in _PEAKS.items() if k in kind), None)
+
+
+def mfu_line(flops_per_step: float, sec_per_step: float) -> str:
+    """'achieved=XX.XTF/s MFU=YY.Y%' (MFU omitted off-TPU)."""
+    tf = flops_per_step / sec_per_step / 1e12
+    peak = device_peak_flops()
+    s = f"achieved={tf:.1f}TF/s"
+    if peak:
+        s += f" MFU={tf * 1e12 / peak * 100:.1f}%"
+    return s
