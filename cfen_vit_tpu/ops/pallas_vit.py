@@ -131,6 +131,11 @@ def supported(p, spec) -> bool:
     if spec.seq_length < 64:
         return False
     e, h = spec.embedding_dim, spec.hidden_dim
+    if e < int(os.environ.get("CFEN_PALLAS_VIT_MIN_E", "256")):
+        # measured r2 (512px canonical, v5e): the kernel loses on the many
+        # small-E level-1/2 tile blocks (XLA's fused einsums win at E<=192)
+        # and wins on the fat E>=384 blocks; see BASELINE.md
+        return False
     wbytes = 2 * (5 * e * e + 4 * e * h + spec.seq_length * e)
     return wbytes <= _VMEM_WEIGHT_BUDGET
 
@@ -155,20 +160,32 @@ def _run(t, weights, num_heads: int, bn: int):
             flops=n * flops_tile,
             bytes_accessed=2 * n * s * e * t.dtype.itemsize,
             transcendentals=n * num_heads * s * s),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_INTERPRET,
     )(t, *weights)
 
 
-def _pick_bn(n: int) -> int:
+def _block_vmem_bytes(bn: int, s: int, e: int, h: int) -> int:
+    """Rough live-buffer bytes per program: ~6 bf16 token-sized temps
+    (t0/t1/src2/q/k/v...), 2 MLP hiddens, 2 f32 [bn,S,S] score buffers."""
+    return bn * s * (12 * e + 4 * h + 8 * s)
+
+
+def _pick_bn(n: int, s: int, e: int, h: int) -> int:
+    """Largest power-of-two group dividing n whose buffers fit comfortably
+    (Mosaic's scoped-VMEM stack OOM'd at L2 with bn=8 — measured r2)."""
     for bn in (8, 4, 2, 1):
-        if n % bn == 0:
+        if n % bn == 0 and _block_vmem_bytes(bn, s, e, h) <= 24 * 1024 * 1024:
             return bn
     return 1
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _fused(t, weights, num_heads):
-    return _run(t, weights, num_heads, _pick_bn(t.shape[0]))
+    n, s, e = t.shape
+    h = weights[11].shape[1]
+    return _run(t, weights, num_heads, _pick_bn(n, s, e, h))
 
 
 def _ref_tokens(t, weights, num_heads):

@@ -64,7 +64,9 @@ def test_supported_matrix():
         img_dim=32, patch_dim=2, num_channels=24, embedding_dim=96,
         num_heads=4, num_layers=1, hidden_dim=384), **kw})
     p = None
-    assert pv.supported(p, mk())
+    # the measured dispatch threshold excludes small-E blocks (E<256:
+    # XLA's fused einsums win there — BASELINE.md r2)
+    assert not pv.supported(p, mk())
     # canonical LViT L3 / GViT L1 size fits
     assert pv.supported(p, mk(num_channels=96, embedding_dim=384,
                               hidden_dim=1536))
