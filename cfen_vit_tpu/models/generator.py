@@ -34,7 +34,6 @@ and `gd2`'s inconsistent pool/upsample counts (we make it a consistent 2x).
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
@@ -595,19 +594,6 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None,
     out = {}
     for b in order:
         t = d1[b] if spec.ipt_style else d1[b] + xf
-        if spec.half_res_trunk and not an.init:
-            # fused Pallas tail (us_conv_d01 + conv/norm/pad/conv7/tanh in
-            # one VMEM-resident kernel) — kills the full-res C=12 band that
-            # XLA lays out batch-on-sublanes at b>=8 (the BASELINE.md
-            # cliff; ops/pallas_tail.py). The ActNorm-init pass must run
-            # the plain path to observe intermediate statistics.
-            from ..ops import pallas_tail as PT
-            tkey_f = ("tail_r" if spec.shared_tails and b == "d"
-                      and "r" in spec.branches else f"tail_{b}")
-            if PT.use_pallas_tail() and PT.supported(spec, p[tkey_f]):
-                out[b] = _tail_fused(t, p[f"us_d01{b}"], p[tkey_f],
-                                     1 if b == "s" else spec.n_colors)
-                continue
         if spec.half_res_trunk:
             key = f"us_d01{b}"
             t = N.conv_transpose2d(p[key]["conv"], t)
@@ -622,8 +608,16 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None,
         elif spec.tail_norm == "instance" and (b != "s" or spec.s_tail_norm):
             t2 = N.instance_norm(t2)
         t2 = N.relu(t2)
-        t2 = N.reflection_pad(t2, 3)
-        out[b] = jnp.tanh(N.conv2d(tp["conv2"], t2))
+        # the reflect-pad + conv7x7 + tanh epilogue dispatches to the
+        # channel-first Pallas kernel where XLA's lowering is pathological
+        # (batch>=8 layout flip — ops/pallas_tail.py, BASELINE.md cliff)
+        from ..ops import pallas_tail as PT
+        if (not an.init and PT.use_pallas_tail(t2.shape[0])
+                and PT.supported(spec, tp)):
+            out[b] = _tail_epilogue_fused(t2, tp["conv2"])
+        else:
+            out[b] = jnp.tanh(N.conv2d(tp["conv2"],
+                                       N.reflection_pad(t2, 3)))
 
     if spec.xdh:
         # refined dehazed output from input + all branch outputs
@@ -633,37 +627,29 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None,
     return out
 
 
-def _tail_plain(t, us_p, tail_p, out_c):
-    """Plain-jnp tail composition (reference semantics; the fused kernel's
-    backward recompute).  out_c is carried by tail_p's conv2 shape."""
-    del out_c
-    t = N.conv_transpose2d(us_p["conv"], t)
-    t = N.relu(N.actnorm_apply(us_p["an"], t))
-    t2 = N.conv2d(tail_p["conv1"], t, padding=1)
-    if "an" in tail_p:
-        t2 = N.actnorm_apply(tail_p["an"], t2)
-    t2 = N.relu(t2)
-    return jnp.tanh(N.conv2d(tail_p["conv2"], N.reflection_pad(t2, 3)))
+def _tail_epilogue_plain(t2, conv2_p):
+    """Reference epilogue (also the fused kernel's backward recompute)."""
+    return jnp.tanh(N.conv2d(conv2_p, N.reflection_pad(t2, 3)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _tail_fused(t, us_p, tail_p, out_c):
-    from ..ops.pallas_tail import fused_tail
-    return fused_tail(t, us_p, tail_p, out_c)
+@jax.custom_vjp
+def _tail_epilogue_fused(t2, conv2_p):
+    from ..ops.pallas_tail import conv7_tail_epilogue
+    return conv7_tail_epilogue(t2, conv2_p["w"].astype(t2.dtype),
+                               conv2_p["b"])
 
 
-def _tail_fused_fwd(t, us_p, tail_p, out_c):
-    return _tail_fused(t, us_p, tail_p, out_c), (t, us_p, tail_p)
+def _tail_epilogue_fwd(t2, conv2_p):
+    return _tail_epilogue_fused(t2, conv2_p), (t2, conv2_p)
 
 
-def _tail_fused_bwd(out_c, res, g):
-    t, us_p, tail_p = res
-    _, vjp = jax.vjp(lambda tt, uu, pp: _tail_plain(tt, uu, pp, out_c),
-                     t, us_p, tail_p)
+def _tail_epilogue_bwd(res, g):
+    t2, conv2_p = res
+    _, vjp = jax.vjp(_tail_epilogue_plain, t2, conv2_p)
     return vjp(g)
 
 
-_tail_fused.defvjp(_tail_fused_fwd, _tail_fused_bwd)
+_tail_epilogue_fused.defvjp(_tail_epilogue_fwd, _tail_epilogue_bwd)
 
 
 def generator_forward(p, spec: GenSpec, x, actnorm_init: bool = False,
