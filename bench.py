@@ -63,7 +63,7 @@ def main():
                          "IID decomposition")
     ap.add_argument("--timeout", type=float,
                     default=float(__import__("os").environ.get(
-                        "CFEN_BENCH_TIMEOUT_S", 480)))
+                        "CFEN_BENCH_TIMEOUT_S", 900)))
     args = ap.parse_args()
     watchdog = _watchdog(args.timeout)
 

@@ -509,12 +509,14 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None,
                 lambda q, v: _level(q, sspec, v, lvl, prefix, ANCtx(False)))
             return pure(pp, xx)
 
-    # stem
-    h = N.conv2d(p["head"]["conv"], x, padding=2)
-    res = N.conv2d(p["head"]["res"]["c2"],
-                   N.relu(N.conv2d(p["head"]["res"]["c1"], h, padding=1)),
-                   padding=1)
-    xf = h + res
+    # stem (channel-first Pallas kernel where XLA's full-res C=12 layout
+    # is pathological — batch>=8; ops/pallas_stem.py)
+    from ..ops import pallas_stem as PS
+    if (not an.init and PS.use_pallas_stem(x.shape[0])
+            and PS.supported(spec)):
+        xf = _stem_fused(x, p["head"])
+    else:
+        xf = _stem_plain(x, p["head"])
     if spec.half_res_trunk:
         xf = N.relu(N.instance_norm(
             N.conv2d(p["ds_e01"]["conv"], xf, stride=2, padding=1)))
@@ -625,6 +627,35 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None,
         cat = jnp.concatenate([x] + [out[b] for b in order], axis=-1)
         out["dh"] = spatial_pyramid_apply(p["sp"], cat)
     return out
+
+
+def _stem_plain(x, head_p):
+    """Reference stem: conv5x5 + ResBlock (ref v3:123-127); also the fused
+    kernel's backward recompute."""
+    h = N.conv2d(head_p["conv"], x, padding=2)
+    res = N.conv2d(head_p["res"]["c2"],
+                   N.relu(N.conv2d(head_p["res"]["c1"], h, padding=1)),
+                   padding=1)
+    return h + res
+
+
+@jax.custom_vjp
+def _stem_fused(x, head_p):
+    from ..ops.pallas_stem import fused_stem
+    return fused_stem(x, head_p)
+
+
+def _stem_fused_fwd(x, head_p):
+    return _stem_fused(x, head_p), (x, head_p)
+
+
+def _stem_fused_bwd(res, g):
+    x, head_p = res
+    _, vjp = jax.vjp(_stem_plain, x, head_p)
+    return vjp(g)
+
+
+_stem_fused.defvjp(_stem_fused_fwd, _stem_fused_bwd)
 
 
 def _tail_epilogue_plain(t2, conv2_p):
