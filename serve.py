@@ -39,6 +39,8 @@ def build_model(argv):
     import jax
     import jax.numpy as jnp
 
+    from cfen_vit_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     cfg = parse_args(argv, is_train=False, save_opt=False)
     cfg.out_all = True   # serving returns fake_A only -> d-only XLA program
     model = DehazingModel(cfg)
@@ -48,11 +50,18 @@ def build_model(argv):
             lambda a: a.astype(jnp.bfloat16)
             if a.dtype == jnp.float32 else a, model.params)
     size = cfg.input_size()
-    # warm the compile cache so the first request is fast
-    model.set_input({"B": np.zeros((1, size, size, 3), np.uint8),
-                     "B_paths": ["warmup"]})
-    model.test(cfg)
     return cfg, model, size
+
+
+def warm(cfg, model, size, max_batch: int = 4):
+    """Pre-compile every batch shape the Batcher can submit (powers of two
+    up to max_batch) so concurrent bursts never stall on a compile."""
+    bsz = 1
+    while bsz <= max_batch:
+        model.set_input({"B": np.zeros((bsz, size, size, 3), np.uint8),
+                         "B_paths": ["warmup"] * bsz})
+        model.test(cfg)
+        bsz *= 2
 
 
 def _to_u8(arr):
@@ -231,6 +240,7 @@ def main(argv=None):
 
     stats = {"n": 0, "t": 0.0}
     cfg, model, size = build_model(rest)
+    warm(cfg, model, size, args.max_batch)
     server = ThreadingHTTPServer(
         (args.host, args.port),
         make_handler(cfg, model, size, stats, max_batch=args.max_batch,
