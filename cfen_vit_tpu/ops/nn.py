@@ -83,12 +83,14 @@ def actnorm_init(dim):
 # apply functions
 # --------------------------------------------------------------------------
 
-def conv2d(p, x, stride: int = 1, padding: int = 0):
-    """nn.Conv2d equivalent; x NHWC, w [kh,kw,in,out], symmetric int padding."""
+def conv2d(p, x, stride: int = 1, padding=0):
+    """nn.Conv2d equivalent; x NHWC, w [kh,kw,in,out].  padding: int or
+    (ph, pw) like torch's per-dim padding (symmetric within each dim)."""
+    ph, pw = (padding, padding) if isinstance(padding, int) else padding
     out = lax.conv_general_dilated(
         x, p["w"].astype(x.dtype),
         window_strides=(stride, stride),
-        padding=((padding, padding), (padding, padding)),
+        padding=((ph, ph), (pw, pw)),
         dimension_numbers=_DN)
     if "b" in p:
         out = out + p["b"].astype(x.dtype)

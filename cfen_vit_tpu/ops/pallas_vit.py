@@ -240,9 +240,11 @@ def fused_vit_tokens(p, spec, t):
 
 def use_pallas_vit() -> bool:
     """Dispatch policy: CFEN_PALLAS_VIT=1 forces the kernel on TPU, =0
-    forces the einsum path; 'auto' (default) currently stays OFF pending
-    the end-to-end measurement on real hardware (the kernel is
-    interpreter-verified; flip auto after BASELINE.md gets the r2 number)."""
+    forces the einsum path; 'auto' (default) is OFF by measurement: the r2
+    end-to-end table (BASELINE.md "fused ViT-block kernel") showed XLA's
+    einsum pipeline beats this kernel at the tuned operating point, so the
+    kernel is retired to opt-in.  Full policy: docs/ARCHITECTURE.md
+    "Kernel dispatch policy"."""
     flag = os.environ.get("CFEN_PALLAS_VIT", "auto")
     if flag != "1" or not _HAS_PALLAS:
         return False

@@ -41,6 +41,17 @@ void jpeg_err_exit(j_common_ptr cinfo) {
     longjmp(err->jump, 1);
 }
 
+// A few-KB JPEG can declare 65500x65500 (12.8 GB RGB): cap dimensions and
+// check malloc so a hostile header can't drive writes through a null
+// pointer (advisor r2).  64 MPix = 192 MB RGB, far above any real request.
+constexpr long long kMaxPixels = 64LL * 1024 * 1024;
+
+unsigned char* alloc_rgb(int w, int h) {
+    if (w <= 0 || h <= 0 || static_cast<long long>(w) * h > kMaxPixels)
+        return nullptr;
+    return static_cast<unsigned char*>(malloc(size_t(w) * h * 3));
+}
+
 // Decode a baseline/progressive JPEG to RGB8. Returns malloc'd buffer.
 unsigned char* decode_jpeg(FILE* f, int* w, int* h) {
     jpeg_decompress_struct cinfo;
@@ -60,7 +71,11 @@ unsigned char* decode_jpeg(FILE* f, int* w, int* h) {
     jpeg_start_decompress(&cinfo);
     *w = cinfo.output_width;
     *h = cinfo.output_height;
-    buf = static_cast<unsigned char*>(malloc(size_t(*w) * *h * 3));
+    buf = alloc_rgb(*w, *h);
+    if (!buf) {
+        jpeg_destroy_decompress(&cinfo);
+        return nullptr;
+    }
     while (cinfo.output_scanline < cinfo.output_height) {
         unsigned char* row = buf + size_t(cinfo.output_scanline) * *w * 3;
         jpeg_read_scanlines(&cinfo, &row, 1);
@@ -96,7 +111,11 @@ unsigned char* decode_png(FILE* f, int* w, int* h) {
     png_read_update_info(png, info);
     *w = png_get_image_width(png, info);
     *h = png_get_image_height(png, info);
-    buf = static_cast<unsigned char*>(malloc(size_t(*w) * *h * 3));
+    buf = alloc_rgb(*w, *h);
+    if (!buf) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        return nullptr;
+    }
     rows.resize(*h);
     for (int y = 0; y < *h; ++y) rows[y] = buf + size_t(y) * *w * 3;
     png_read_image(png, rows.data());
@@ -243,7 +262,15 @@ void png_mem_write(png_structp png, png_bytep in, png_size_t n) {
     if (wtr->len + n > wtr->cap) {
         size_t cap = wtr->cap ? wtr->cap * 2 : 65536;
         while (cap < wtr->len + n) cap *= 2;
-        wtr->data = static_cast<unsigned char*>(realloc(wtr->data, cap));
+        unsigned char* grown =
+            static_cast<unsigned char*>(realloc(wtr->data, cap));
+        if (!grown) {  // old block still valid: free it, then longjmp out
+            free(wtr->data);
+            wtr->data = nullptr;
+            wtr->cap = wtr->len = 0;
+            png_error(png, "png_mem_write: out of memory");
+        }
+        wtr->data = grown;
         wtr->cap = cap;
     }
     memcpy(wtr->data + wtr->len, in, n);
@@ -277,7 +304,11 @@ extern "C" unsigned char* cfen_decode_rgb_mem(const unsigned char* data,
         jpeg_start_decompress(&cinfo);
         *w = cinfo.output_width;
         *h = cinfo.output_height;
-        buf = static_cast<unsigned char*>(malloc(size_t(*w) * *h * 3));
+        buf = alloc_rgb(*w, *h);
+        if (!buf) {
+            jpeg_destroy_decompress(&cinfo);
+            return nullptr;
+        }
         while (cinfo.output_scanline < cinfo.output_height) {
             unsigned char* row = buf + size_t(cinfo.output_scanline) * *w * 3;
             jpeg_read_scanlines(&cinfo, &row, 1);
@@ -312,7 +343,11 @@ extern "C" unsigned char* cfen_decode_rgb_mem(const unsigned char* data,
         png_read_update_info(png, info);
         *w = png_get_image_width(png, info);
         *h = png_get_image_height(png, info);
-        buf = static_cast<unsigned char*>(malloc(size_t(*w) * *h * 3));
+        buf = alloc_rgb(*w, *h);
+        if (!buf) {
+            png_destroy_read_struct(&png, &info, nullptr);
+            return nullptr;
+        }
         rows.resize(*h);
         for (int y = 0; y < *h; ++y) rows[y] = buf + size_t(y) * *w * 3;
         png_read_image(png, rows.data());

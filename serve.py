@@ -53,15 +53,39 @@ def build_model(argv):
     return cfg, model, size
 
 
-def warm(cfg, model, size, max_batch: int = 4):
-    """Pre-compile every batch shape the Batcher can submit (powers of two
-    up to max_batch) so concurrent bursts never stall on a compile."""
-    bsz = 1
+def _batch_shapes(max_batch: int):
+    """Every padded batch size Batcher._loop can produce: powers of two up
+    to max_batch, plus max_batch itself when it isn't a power of two (the
+    min(next_pow2(b), max_batch) clamp submits that shape for large bursts)."""
+    sizes, bsz = [], 1
     while bsz <= max_batch:
-        model.set_input({"B": np.zeros((bsz, size, size, 3), np.uint8),
-                         "B_paths": ["warmup"] * bsz})
-        model.test(cfg)
+        sizes.append(bsz)
         bsz *= 2
+    if sizes[-1] != max_batch:
+        sizes.append(max_batch)
+    return sizes
+
+
+def warm(cfg, model, size, max_batch: int = 4):
+    """Pre-compile every batch shape the Batcher can submit so concurrent
+    bursts never stall on a compile."""
+    for bsz in _batch_shapes(max_batch):
+        model.set_input({"B": _model_input(
+            model, np.zeros((bsz, size, size, 3), np.uint8)),
+            "B_paths": ["warmup"] * bsz})
+        model.test(cfg)
+
+
+def _model_input(model, batch_u8: np.ndarray):
+    """uint8 batch -> whatever set_input's active IO path expects.
+
+    Under --chop/--self_ensemble the model's u8 wire is disabled
+    (dehazing_model.py:66) and set_input casts floats verbatim — feeding
+    raw 0-255 uint8 there would skip the /127.5-1 normalization and return
+    garbage (advisor r2, medium).  Normalize on the host in that case."""
+    if model._u8_io:
+        return batch_u8
+    return batch_u8.astype(np.float32) / 127.5 - 1.0
 
 
 def _to_u8(arr):
@@ -70,6 +94,27 @@ def _to_u8(arr):
         return arr
     return ((arr.astype(np.float32) + 1) / 2 * 255).clip(0, 255) \
         .astype(np.uint8)
+
+
+class Stats:
+    """Thread-safe counters (handler threads + the batcher thread all
+    mutate; unlocked read-modify-write under-counted — advisor r2)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._d = {}
+
+    def add(self, key, delta):
+        with self._lock:
+            self._d[key] = self._d.get(key, 0) + delta
+
+    def peak(self, key, value):
+        with self._lock:
+            self._d[key] = max(self._d.get(key, 0), value)
+
+    def get(self, key, default=0):
+        with self._lock:
+            return self._d.get(key, default)
 
 
 class Batcher:
@@ -85,7 +130,7 @@ class Batcher:
         self.model = model
         self.max_batch = max(1, int(max_batch))
         self.window_s = max(0.0, float(window_ms)) / 1e3
-        self.stats = stats if stats is not None else {}
+        self.stats = stats if stats is not None else Stats()
         self.q: queue.Queue = queue.Queue()
         t = threading.Thread(target=self._loop, daemon=True)
         t.start()
@@ -128,7 +173,8 @@ class Batcher:
                              + [items[-1][0]] * (padded - b))
             try:
                 self.model.set_input(
-                    {"B": batch, "B_paths": ["req"] * padded})
+                    {"B": _model_input(self.model, batch),
+                     "B_paths": ["req"] * padded})
                 visuals = self.model.test(self.cfg)
                 outs = visuals["fake_A"]
                 for i, (_, ev, slot) in enumerate(items):
@@ -138,10 +184,9 @@ class Batcher:
                 for _, ev, slot in items:
                     slot["err"] = repr(e)
                     ev.set()
-            self.stats["batches"] = self.stats.get("batches", 0) + 1
-            self.stats["batched_reqs"] = (self.stats.get("batched_reqs", 0)
-                                          + b)
-            self.stats["max_seen"] = max(self.stats.get("max_seen", 0), b)
+            self.stats.add("batches", 1)
+            self.stats.add("batched_reqs", b)
+            self.stats.peak("max_seen", b)
 
 
 def _decode(raw: bytes, size: int):
@@ -217,8 +262,8 @@ def make_handler(cfg, model, size, stats, max_batch: int = 4,
                 self._json(500, {"error": str(e)})
                 return
             dt = time.perf_counter() - t0
-            stats["n"] = stats.get("n", 0) + 1
-            stats["t"] = stats.get("t", 0.0) + dt
+            stats.add("n", 1)
+            stats.add("t", dt)
             body = _encode(_to_u8(out))
             self.send_response(200)
             self.send_header("Content-Type", "image/png")
@@ -238,7 +283,7 @@ def main(argv=None):
     ap.add_argument("--batch_window_ms", type=float, default=3.0)
     args, rest = ap.parse_known_args(argv)
 
-    stats = {"n": 0, "t": 0.0}
+    stats = Stats()
     cfg, model, size = build_model(rest)
     warm(cfg, model, size, args.max_batch)
     server = ThreadingHTTPServer(

@@ -101,6 +101,116 @@ def test_epdn_nlayer_disc_matches_reference(ref_epdn, rng):
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+def test_encoder_matches_reference(ref_epdn, rng):
+    """Encoder (epdn_networks.py:533-567) golden, incl. the instance-wise
+    average pooling (our one-hot segment-mean formulation vs the
+    reference's host loop over np.unique)."""
+    from cfen_vit_tpu.models.epdn import encoder_apply
+    torch.manual_seed(3)
+    nd, ngf = 2, 8
+    net = ref_epdn.Encoder(3, 3, ngf, nd,
+                           norm_layer=torch.nn.InstanceNorm2d).eval()
+    seq = net.model
+    p = {"head": _conv(seq[1]),
+         "down": [_conv(seq[4 + 3 * i]) for i in range(nd)],
+         "up": [_convT(seq[4 + 3 * nd + 3 * i]) for i in range(nd)],
+         "tail": _conv(seq[4 + 3 * nd + 3 * nd + 1])}
+    x = rng.randn(2, 32, 32, 3).astype(np.float32)
+    inst = rng.randint(0, 5, (2, 32, 32, 1))
+    with torch.no_grad():
+        ref = net(_nchw(x), torch.tensor(
+            inst.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(encoder_apply(p, jnp.asarray(x), jnp.asarray(inst),
+                                   num_labels=8))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def ref_omni(ref_epdn):
+    """The reference's Omni classes live inside a '''...''' string literal
+    (epdn_networks.py:388-486) and reference a ConELUBlock whose module is
+    absent — exec that source verbatim (with ConELUBlock reconstructed as
+    Conv2d+ELU, matching our port's assumption) to get a torch oracle."""
+    import inspect
+    src = inspect.getsource(ref_epdn)
+    body = src.split("'''")[1]
+    assert "class OmniFeatureExtractor" in body
+
+    class ConELUBlock(torch.nn.Module):
+        def __init__(self, c_in, c_out, kernel_size, padding=0):
+            super().__init__()
+            self.conv = torch.nn.Conv2d(c_in, c_out, kernel_size,
+                                        padding=padding)
+            self.act = torch.nn.ELU(inplace=True)
+
+        def forward(self, x):
+            return self.act(self.conv(x))
+
+    ns = dict(vars(ref_epdn))
+    ns["ConELUBlock"] = ConELUBlock
+    exec(compile(body, "<omni-spec>", "exec"), ns)
+    return ns
+
+
+def _sff_params(m):
+    """Torch HeightWise_SFF_Model -> our hw_sff param tree."""
+    sq = m.conv_squeeze[0].weight.detach().numpy()      # [d,H,1,1]
+    return {
+        "squeeze": {"w": np.ascontiguousarray(sq[:, :, 0, 0].T)},
+        "prelu_a": m.conv_squeeze[1].weight.detach().numpy().reshape(1),
+        "fcs": [{"w": np.ascontiguousarray(
+            getattr(m, f"fcs_f{i}").weight.detach()
+            .numpy()[:, :, 0, 0].T)} for i in range(4)],
+        "smooth": _conv(m.conv_smooth.conv)}
+
+
+def test_hw_sff_matches_commented_reference(ref_omni, rng):
+    from cfen_vit_tpu.models.epdn import hw_sff_apply
+    torch.manual_seed(4)
+    H = 16
+    net = ref_omni["HeightWise_SFF_Model"](4, height=H).eval()
+    xs = [rng.randn(2, H, 12, 4).astype(np.float32) for _ in range(4)]
+    with torch.no_grad():
+        ref, _ = net(*[_nchw(x) for x in xs])
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(hw_sff_apply(_sff_params(net),
+                                  *[jnp.asarray(x) for x in xs]))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_omni_feature_extractor_matches_commented_reference(ref_omni, rng):
+    from cfen_vit_tpu.models.epdn import omni_feature_extractor_apply
+    torch.manual_seed(5)
+    H, ngf = 16, 8
+    net = ref_omni["OmniFeatureExtractor"](3, 3, ngf, n_width=24,
+                                           n_height=H).eval()
+    p = {"bank0": [_conv(getattr(net, f"extractor_0_{i}").conv)
+                   for i in range(4)],
+         "bank1": [_conv(getattr(net, f"extractor_1_{i}").conv)
+                   for i in range(4)],
+         "sff0": _sff_params(net.rwsff_0),
+         "sff1": _sff_params(net.rwsff_1)}
+    x = rng.randn(2, H, 24, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = net(_nchw(x)).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(omni_feature_extractor_apply(p, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_omni_local_enhancer_runs(rng):
+    """No golden possible for the full net: it is crash-by-construction in
+    the reference (NameError — docs/REFERENCE_DEFECTS.md); its building
+    blocks are golden-tested above + via GlobalGenerator/Dehaze."""
+    from cfen_vit_tpu.models.epdn import (omni_local_enhancer_init,
+                                          omni_local_enhancer_apply)
+    p = omni_local_enhancer_init(jax.random.PRNGKey(2), ngf=8,
+                                 n_downsample_global=2, n_blocks_global=2,
+                                 n_blocks_local=1, n_height=32)
+    x = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    out, dh = jax.jit(omni_local_enhancer_apply)(p, x)
+    assert out.shape == (1, 32, 32, 3) and dh.shape == (1, 32, 32, 3)
+
+
 def test_local_enhancer_and_msd_run(rng):
     from cfen_vit_tpu.models.epdn import (
         local_enhancer_init, local_enhancer_apply,

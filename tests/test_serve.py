@@ -37,7 +37,7 @@ def server(tmp_path_factory):
             "--n_feats", "8", "--loadSize", "64", "--patch_size", "8",
             "--num_heads", "2", "--hidden_dim_ratio", "2"]
     cfg, model, size = serve_mod.build_model(argv)
-    stats = {"n": 0, "t": 0.0}
+    stats = serve_mod.Stats()
     httpd = HTTPServer(("127.0.0.1", 0),
                        serve_mod.make_handler(cfg, model, size, stats))
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
@@ -113,6 +113,33 @@ def test_dehaze_content_matches_model(server, rng):
     assert (got == 255).mean() < 0.5
 
 
+def test_model_input_normalizes_float_path(rng):
+    """advisor r2 (medium): when the model's u8 wire is disabled
+    (--chop/--self_ensemble), the Batcher must hand set_input [-1,1]
+    floats, not raw 0-255 uint8."""
+    from tests.ref_utils import load_repo_module
+    serve_mod = load_repo_module('serve')
+
+    class M:
+        pass
+
+    u8 = (rng.rand(2, 8, 8, 3) * 255).astype(np.uint8)
+    m = M(); m._u8_io = True
+    assert serve_mod._model_input(m, u8) is u8
+    m._u8_io = False
+    f = serve_mod._model_input(m, u8)
+    assert f.dtype == np.float32
+    np.testing.assert_allclose(f, u8.astype(np.float32) / 127.5 - 1.0)
+
+
+def test_warm_batch_shapes_cover_non_pow2():
+    from tests.ref_utils import load_repo_module
+    serve_mod = load_repo_module('serve')
+    assert serve_mod._batch_shapes(4) == [1, 2, 4]
+    assert serve_mod._batch_shapes(6) == [1, 2, 4, 6]
+    assert serve_mod._batch_shapes(1) == [1]
+
+
 def test_concurrent_requests_batch(server, rng):
     """Concurrent requests coalesce into one device call (micro-batching,
     VERDICT r1 weak #8)."""
@@ -120,7 +147,7 @@ def test_concurrent_requests_batch(server, rng):
     from tests.ref_utils import load_repo_module
     serve_mod = load_repo_module('serve')
 
-    stats = {}
+    stats = serve_mod.Stats()
     httpd = http.server.ThreadingHTTPServer(
         ("127.0.0.1", 0),
         serve_mod.make_handler(server["cfg"], server["model"], 128, stats,

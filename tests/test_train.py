@@ -130,15 +130,7 @@ def test_train_step_bf16_remat(rng, tmp_path):
     assert tr.state["g"]["head"]["conv"]["w"].dtype == jnp.float32
 
 
-@pytest.mark.nightly
-@pytest.mark.parametrize("model,expect_d", [
-    ("decr_vit", {"A", "R"}), ("decs_vit", {"A", "S"}),
-    ("decn_vit", {"A"}), ("vit", {"A"}),
-    ("dec_mgvit", {"A", "R", "S"})])
-def test_wrapper_models_train_step(rng, tmp_path, model, expect_d):
-    """One GAN step for each reference wrapper model (--model decr_vit /
-    decs_vit / decn_vit / vit). The reference's own wrappers crash on
-    missing ECLoss/TVLoss imports (docs/REFERENCE_DEFECTS.md); ours run."""
+def _wrapper_step(rng, tmp_path, model, expect_d):
     from cfen_vit_tpu.train.trainer import GanTrainer
 
     cfg = _tiny_cfg(tmp_path, model=model,
@@ -151,6 +143,25 @@ def test_wrapper_models_train_step(rng, tmp_path, model, expect_d):
     losses = tr.get_current_losses()
     assert all(np.isfinite(v) for v in losses.values()), losses
     assert set(tr.branches.values()) == expect_d
+
+
+@pytest.mark.slow
+def test_dec_mgvit_train_step(rng, tmp_path):
+    """Default-tier coverage for a non-dec_vit trainer loss set (VERDICT r2
+    weak #6): dec_mgvit exercises the DECMGVIT branch structure + losses.
+    The full wrapper sweep stays nightly below."""
+    _wrapper_step(rng, tmp_path, "dec_mgvit", {"A", "R", "S"})
+
+
+@pytest.mark.nightly
+@pytest.mark.parametrize("model,expect_d", [
+    ("decr_vit", {"A", "R"}), ("decs_vit", {"A", "S"}),
+    ("decn_vit", {"A"}), ("vit", {"A"})])
+def test_wrapper_models_train_step(rng, tmp_path, model, expect_d):
+    """One GAN step for each reference wrapper model (--model decr_vit /
+    decs_vit / decn_vit / vit). The reference's own wrappers crash on
+    missing ECLoss/TVLoss imports (docs/REFERENCE_DEFECTS.md); ours run."""
+    _wrapper_step(rng, tmp_path, model, expect_d)
 
 
 @pytest.mark.slow
