@@ -24,7 +24,14 @@ def main():
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--remat_mode", default="level",
+                    choices=["level", "level_dots", "vit", "branch"])
+    ap.add_argument("--mrf_block", type=int, default=0,
+                    help="ID-MRF streaming block size (0 = default 2048)")
     args = ap.parse_args()
+    if args.mrf_block:
+        import os
+        os.environ["CFEN_MRF_BLOCK"] = str(args.mrf_block)
 
     from cfen_vit_tpu.config import Config, enable_compilation_cache
     enable_compilation_cache()
@@ -36,7 +43,7 @@ def main():
                  patch_size=args.size // 16, num_heads=4,
                  hidden_dim_ratio=4, batchSize=args.batch, pool_size=50,
                  sb=True, isTrain=True, compute_dtype=args.dtype,
-                 remat=args.remat)
+                 remat=args.remat, remat_mode=args.remat_mode)
     tr = GanTrainer(cfg)
     tr.setup(cfg)
     rng = np.random.RandomState(0)
@@ -79,6 +86,8 @@ def main():
         "value": round(dt, 4), "unit": "s/step",
         "imgs_per_sec": round(args.batch / dt, 2),
         "batch": args.batch, "dtype": args.dtype, "remat": args.remat,
+        "remat_mode": args.remat_mode if args.remat else "none",
+        "mrf_block": args.mrf_block or 2048,
         "compile_s": round(compile_s, 1),
         "gflops_per_img": round(flops / args.batch / 1e9, 1),
     }))

@@ -162,6 +162,10 @@ class Config:
                                       # 4.5 vs 47 s/step on v5e. --no_remat
                                       # disables.
     no_remat: bool = False
+    remat_mode: str = "level"         # checkpoint granularity when remat is
+                                      # on: level | level_dots | vit |
+                                      # branch (generator_apply docstring;
+                                      # sweep table in BASELINE.md)
     self_ensemble: bool = False       # x8 dihedral ensemble at eval (the
                                       # reference declares --self_ensemble,
                                       # base_options.py; wired here)

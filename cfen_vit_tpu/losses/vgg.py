@@ -155,7 +155,18 @@ def _mrf_rows(o_rows, t_n):
     return before / jnp.sum(before, axis=2, keepdims=True)
 
 
-def _mrf(o, t, block: int = 2048):
+def _mrf_block_size(default: int = 2048) -> int:
+    """Streaming q-block size for the ID-MRF scan — the knob of the r1 #6
+    sweep (bench_train.py --mrf_block / CFEN_MRF_BLOCK).  Larger blocks =
+    fewer scan iterations but a bigger live [N, block, P] slab."""
+    import os
+    try:
+        return int(os.environ.get("CFEN_MRF_BLOCK", "") or default)
+    except ValueError:  # pragma: no cover
+        return default
+
+
+def _mrf(o, t, block: int = 0):
     """One-layer ID-MRF divergence (ref consistency.py:42-91).
 
     The reference materializes the full [HW_o, HW_t] relative-distance
@@ -165,6 +176,7 @@ def _mrf(o, t, block: int = 2048):
     we stream q-row blocks through a lax.scan carrying the running
     column-max — the big matrix never exists in HBM, forward or backward
     (jax.checkpoint on the block recomputes it in the vjp)."""
+    block = block or _mrf_block_size()
     o_n, t_n = _normalize_feats(o, t)
     n, P, c = o_n.shape
 

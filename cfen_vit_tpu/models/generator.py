@@ -471,21 +471,38 @@ def _resblock(blocks, x, an, path):
     return x
 
 
-def _level(p, spec: GenSpec, x, lvl: int, prefix: str, an):
+def _level(p, spec: GenSpec, x, lvl: int, prefix: str, an,
+           vit_ckpt: bool = False):
+    """vit_ckpt: per-ViT-block rematerialization — only the token pipelines
+    (the attention/MLP stacks) recompute in the backward; convs, fusion and
+    residuals keep their activations.  Finer than per-level remat."""
     if spec.cnn:
         key = f"cnn_{prefix}"
         return _resblock(p[key], x, an, (key,)) + x
-    lv = (_local_vit(p[f"lvit_{prefix}"], spec, lvl, x, an,
-                     (f"lvit_{prefix}",)) if spec.use_local else None)
+    if vit_ckpt:
+        lvit_fn = jax.checkpoint(
+            lambda q, v: _local_vit(q, spec, lvl, v, ANCtx(False),
+                                    (f"lvit_{prefix}",)))
+        lv = lvit_fn(p[f"lvit_{prefix}"], x) if spec.use_local else None
+    else:
+        lv = (_local_vit(p[f"lvit_{prefix}"], spec, lvl, x, an,
+                         (f"lvit_{prefix}",)) if spec.use_local else None)
     if lv is not None and spec.s_dec1_ru_zero and prefix == "d01s":
         # dec_ipt.py:841 quirk: the S decoder level-1 ru quadrant of the
         # local map stays the Crop2x2 zeros canvas (see GenSpec)
         h2, w2 = lv.shape[1] // 2, lv.shape[2] // 2
         lv = lv.at[:, :h2, w2:, :].set(0.0)
-    gv = (vit_apply(p[f"gvit_{prefix}"],
-                    spec.gvit_spec(lvl, prefix.startswith("e")), x,
-                    an_ctx=an, path=(f"gvit_{prefix}",))
-          if spec.use_global else None)
+    if vit_ckpt:
+        gvit_fn = jax.checkpoint(
+            lambda q, v: vit_apply(q, spec.gvit_spec(
+                lvl, prefix.startswith("e")), v, an_ctx=None,
+                path=(f"gvit_{prefix}",)))
+        gv = gvit_fn(p[f"gvit_{prefix}"], x) if spec.use_global else None
+    else:
+        gv = (vit_apply(p[f"gvit_{prefix}"],
+                        spec.gvit_spec(lvl, prefix.startswith("e")), x,
+                        an_ctx=an, path=(f"gvit_{prefix}",))
+              if spec.use_global else None)
     return _fuse(p, spec, f"lgcat_{prefix}", lv, gv, x, an)
 
 
@@ -494,32 +511,59 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None,
     """x: [B,H,W,3] in [-1,1]; returns dict of branch outputs in [-1,1].
 
     Output keys: 'r','s','d' (subset per spec.branches); 's' is 1-channel.
-    remat=True wraps every encoder/decoder level in jax.checkpoint —
-    activations are recomputed in the backward pass, trading ~1/3 extra
-    FLOPs for a large cut in live HBM during training (the 3-branch decoder
-    dominates activation memory at 512x512).  Ignored during the ActNorm
-    init pass (that pass must observe real intermediate statistics).
+    remat selects the rematerialization granularity (r1 #6 sweep; measured
+    table in BASELINE.md):
+      False/"none"  no checkpointing;
+      True/"level"  every encoder/decoder level in jax.checkpoint (r1
+                    default — mandatory at 512px training, 10x step time
+                    without it);
+      "level_dots"  per-level checkpoint with the dots_saveable policy
+                    (matmul outputs saved, elementwise recomputed);
+      "vit"         only the ViT token pipelines recompute (finer: convs
+                    and fusions keep activations);
+      "branch"      each decoder branch is ONE checkpoint region (coarser:
+                    least live memory, most recompute).
+    Ignored during the ActNorm init pass (that pass must observe real
+    intermediate statistics).
     """
     if an is None:
         an = ANCtx(init=False)
+    mode = remat if isinstance(remat, str) else ("level" if remat else
+                                                 "none")
     level_fn = _level
-    if remat and not an.init:
+    if mode in ("level", "level_dots", "branch") and not an.init:
+        policy = (jax.checkpoint_policies.dots_saveable
+                  if mode == "level_dots" else None)
+
         def level_fn(pp, sspec, xx, lvl, prefix, _an):  # noqa: ANN001
             pure = jax.checkpoint(
-                lambda q, v: _level(q, sspec, v, lvl, prefix, ANCtx(False)))
+                lambda q, v: _level(q, sspec, v, lvl, prefix, ANCtx(False)),
+                policy=policy)
             return pure(pp, xx)
+    elif mode == "vit" and not an.init:
+        def level_fn(pp, sspec, xx, lvl, prefix, _an):  # noqa: ANN001
+            return _level(pp, sspec, xx, lvl, prefix, ANCtx(False),
+                          vit_ckpt=True)
 
-    # stem (channel-first Pallas kernel where XLA's full-res C=12 layout
-    # is pathological — batch>=8; ops/pallas_stem.py)
+    # stem.  Preferred TPU path: the whole full-res band (conv5+ResBlock+
+    # stride-2 ds conv) in phase space — the pathological C=12 full-res
+    # tensors never exist (ops/phase_space.py).  Channel-first Pallas stem
+    # kernel and the plain path remain for fallback/parity/init.
     from ..ops import pallas_stem as PS
-    if (not an.init and PS.use_pallas_stem(x.shape[0])
-            and PS.supported(spec)):
-        xf = _stem_fused(x, p["head"])
-    else:
-        xf = _stem_plain(x, p["head"])
-    if spec.half_res_trunk:
+    from ..ops import phase_space as PH
+    phase = (not an.init and spec.half_res_trunk and PH.use_phase_space())
+    if phase:
         xf = N.relu(N.instance_norm(
-            N.conv2d(p["ds_e01"]["conv"], xf, stride=2, padding=1)))
+            _stem_ds_phase(x, p["head"], p["ds_e01"]["conv"])))
+    else:
+        if (not an.init and PS.use_pallas_stem(x.shape[0])
+                and PS.supported(spec)):
+            xf = _stem_fused(x, p["head"])
+        else:
+            xf = _stem_plain(x, p["head"])
+        if spec.half_res_trunk:
+            xf = N.relu(N.instance_norm(
+                N.conv2d(p["ds_e01"]["conv"], xf, stride=2, padding=1)))
 
     # encoder(s): shared, or one per branch over the same stem (dec_ipt,
     # ref dec_ipt.py:275-871 — R uses the unsuffixed modules, S the 's' set)
@@ -550,60 +594,93 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None,
     order = [b for b in "rs" if b in spec.branches] + (
         ["d"] if "d" in spec.branches else [])
     lvl_out: Dict[str, Dict[int, jnp.ndarray]] = {}
-    for b in order:
-        cur = enc_of(b)[3]
-        if b == "s" and spec.s_dec_from_r_enc and "r" in spec.branches:
-            cur = enc_of("r")[3]    # ref dec_ipt.py:722 copy-paste quirk
-        us[b] = {}
-        lvl_out[b] = {}
+
+    def decode_branch(pp, b, cur, encs, partner_us, s2_out, lf, anx):
+        """All three decoder levels of one branch.  encs: {2: enc feats of
+        level 2, 1: level 1} (skip sources); partner_us: {('r',3): ...}
+        cross-branch upsample features consumed by the D branch; s2_out:
+        lvl_out['s'][2] for the d02_us_from_s quirk.  Explicit inputs so
+        'branch' remat can checkpoint this whole region."""
+        us_b: Dict[int, jnp.ndarray] = {}
+        l2_out = None
         for lvl in (3, 2, 1):
-            cur = level_fn(p, spec, cur, lvl, f"d0{lvl}{b}", an)
-            lvl_out[b][lvl] = cur
+            cur = lf(pp, spec, cur, lvl, f"d0{lvl}{b}", anx)
+            if lvl == 2:
+                l2_out = cur
             if lvl > 1:
                 key = f"us_d0{lvl}{b}"
                 us_src = cur
                 if (b == "d" and lvl == 2 and spec.d02_us_from_s
-                        and "s" in spec.branches):
-                    us_src = lvl_out["s"][2]
-                u = N.conv_transpose2d(p[key]["conv"], us_src)
-                if lvl == 3 or "an" not in p[key]:
+                        and s2_out is not None):
+                    us_src = s2_out
+                u = N.conv_transpose2d(pp[key]["conv"], us_src)
+                if lvl == 3 or "an" not in pp[key]:
                     u = N.relu(N.instance_norm(u))
                 else:
-                    u = N.relu(an(p[key]["an"], u, (key, "an")))
-                us[b][lvl] = u
+                    u = N.relu(anx(pp[key]["an"], u, (key, "an")))
+                us_b[lvl] = u
                 if b == "d" and spec.d_skip == "cfs":
-                    cur = cfs_apply(p[f"cfs_d0{lvl}d"], u,
-                                    us["r"][lvl], us["s"][lvl])
+                    cur = cfs_apply(pp[f"cfs_d0{lvl}d"], u,
+                                    partner_us[("r", lvl)],
+                                    partner_us[("s", lvl)])
                 elif b == "d" and spec.d_skip == "cat3":
-                    cat = jnp.concatenate([u, us["r"][lvl], us["s"][lvl]],
-                                          axis=-1)
-                    cur = _apply_can(p[f"sk_d0{lvl}{b}"], cat, an,
+                    cat = jnp.concatenate([u, partner_us[("r", lvl)],
+                                           partner_us[("s", lvl)]], axis=-1)
+                    cur = _apply_can(pp[f"sk_d0{lvl}{b}"], cat, anx,
                                      (f"sk_d0{lvl}{b}",))
                 elif spec.d_skip == "res":
-                    cur = u + enc_of(b)[lvl - 1]
+                    cur = u + encs[lvl - 1]
                 elif b == "d" and spec.d_skip == "cat_partner":
-                    partner = "r" if "r" in spec.branches else "s"
-                    cat = jnp.concatenate([u, us[partner][lvl]], axis=-1)
+                    pb = "r" if "r" in spec.branches else "s"
+                    cat = jnp.concatenate([u, partner_us[(pb, lvl)]],
+                                          axis=-1)
                     cur = N.relu(N.instance_norm(
-                        N.conv2d(p[f"sk_d0{lvl}{b}"]["conv"], cat)))
+                        N.conv2d(pp[f"sk_d0{lvl}{b}"]["conv"], cat)))
                 else:
-                    cat = jnp.concatenate([u, enc_of(b)[lvl - 1]], axis=-1)
-                    cur = _apply_can(p[f"sk_d0{lvl}{b}"], cat, an,
+                    cat = jnp.concatenate([u, encs[lvl - 1]], axis=-1)
+                    cur = _apply_can(pp[f"sk_d0{lvl}{b}"], cat, anx,
                                      (f"sk_d0{lvl}{b}",))
+        return cur, us_b, l2_out
+
+    for b in order:
+        cur = enc_of(b)[3]
+        if b == "s" and spec.s_dec_from_r_enc and "r" in spec.branches:
+            cur = enc_of("r")[3]    # ref dec_ipt.py:722 copy-paste quirk
+        encs = {2: enc_of(b)[2], 1: enc_of(b)[1]}
+        partner_us = {(pb, lvl): us[pb][lvl] for pb in "rs"
+                      if pb in us for lvl in us[pb]}
+        s2_out = (lvl_out.get("s", {}).get(2)
+                  if (b == "d" and spec.d02_us_from_s
+                      and "s" in spec.branches) else None)
+        if mode == "branch" and not an.init:
+            run = jax.checkpoint(
+                lambda pp, c, e, pu, s2, _b=b: decode_branch(
+                    pp, _b, c, e, pu, s2, _level, ANCtx(False)))
+            cur, us_b, l2_out = run(p, cur, encs, partner_us, s2_out)
+        else:
+            cur, us_b, l2_out = decode_branch(p, b, cur, encs, partner_us,
+                                              s2_out, level_fn, an)
+        us[b] = us_b
+        lvl_out[b] = {2: l2_out}
         d1[b] = cur
 
     # tails
     out = {}
     for b in order:
         t = d1[b] if spec.ipt_style else d1[b] + xf
-        if spec.half_res_trunk:
-            key = f"us_d01{b}"
-            t = N.conv_transpose2d(p[key]["conv"], t)
-            t = N.relu(an(p[key]["an"], t, (key, "an")))
         tkey = f"tail_{b}"
         if spec.shared_tails and b == "d" and "r" in spec.branches:
             tkey = "tail_r"
         tp = p[tkey]
+        if phase:
+            # whole tail band (convT + norms + conv3x3 + reflect-pad +
+            # conv7x7 + tanh) in phase space — see _tail_phase
+            out[b] = _tail_phase(t, p[f"us_d01{b}"], tp, spec, b)
+            continue
+        if spec.half_res_trunk:
+            key = f"us_d01{b}"
+            t = N.conv_transpose2d(p[key]["conv"], t)
+            t = N.relu(an(p[key]["an"], t, (key, "an")))
         t2 = N.conv2d(tp["conv1"], t, padding=1)
         if "an" in tp:
             t2 = an(tp["an"], t2, (tkey, "an"))
@@ -627,6 +704,56 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None,
         cat = jnp.concatenate([x] + [out[b] for b in order], axis=-1)
         out["dh"] = spatial_pyramid_apply(p["sp"], cat)
     return out
+
+
+def _stem_ds_phase(x, head_p, ds_conv_p):
+    """Stem conv5x5 + ResBlock + stride-2 ds conv entirely in phase space
+    (ops/phase_space.py): returns the PRE-InstanceNorm half-res trunk
+    tensor.  Exactly equivalent to _stem_plain + ds conv — the full-res
+    C=12 tensors never exist."""
+    from ..ops import phase_space as PH
+    xp = PH.space_to_depth(x)                                 # [B,H/2,W/2,12]
+    hp = {"w": PH.expand_s1(head_p["conv"]["w"]),
+          "b": PH.tile4(head_p["conv"]["b"])}
+    h = N.conv2d(hp, xp, padding=1)
+    c1 = {"w": PH.expand_s1(head_p["res"]["c1"]["w"]),
+          "b": PH.tile4(head_p["res"]["c1"]["b"])}
+    c2 = {"w": PH.expand_s1(head_p["res"]["c2"]["w"]),
+          "b": PH.tile4(head_p["res"]["c2"]["b"])}
+    r2 = N.conv2d(c2, N.relu(N.conv2d(c1, h, padding=1)), padding=1)
+    xf_ps = h + r2
+    ds = PH.conv_ps(xf_ps, PH.expand_ds(ds_conv_p["w"]),
+                    ((1, 0), (1, 0)))
+    return ds + ds_conv_p["b"].astype(ds.dtype)
+
+
+def _tail_phase(t, us_p, tail_p, spec: GenSpec, b: str):
+    """Full tail band in phase space: convT(4,s2,p1) + ActNorm + ReLU +
+    conv3x3 (+norm) + ReLU + ReflectionPad(3) + conv7x7 + tanh, all on
+    half-res [B,H,W,4C] tensors; one depth_to_space at the very end.
+    Numerically equivalent to the plain tail (fp reassociation only)."""
+    from ..ops import phase_space as PH
+    dt = t.dtype
+    y = PH.conv_ps(t, PH.expand_convT(us_p["conv"]["w"]), 1)
+    y = y + PH.tile4(us_p["conv"]["b"]).astype(dt)
+    # us ActNorm + ReLU (per-channel affine -> params tiled over phases)
+    y = (y + PH.tile4(us_p["an"]["b"]).astype(dt)) \
+        * jnp.exp(PH.tile4(us_p["an"]["w"])).astype(dt)
+    y = N.relu(y)
+    c1 = {"w": PH.expand_s1(tail_p["conv1"]["w"]),
+          "b": PH.tile4(tail_p["conv1"]["b"])}
+    t2 = N.conv2d(c1, y, padding=1)
+    if "an" in tail_p:
+        t2 = (t2 + PH.tile4(tail_p["an"]["b"]).astype(dt)) \
+            * jnp.exp(PH.tile4(tail_p["an"]["w"])).astype(dt)
+    elif spec.tail_norm == "instance" and (b != "s" or spec.s_tail_norm):
+        t2 = PH.instance_norm_ps(t2)
+    t2 = N.relu(t2)
+    t2 = PH.reflect_pad_ps(t2, 2)   # full-res reflect 3 ⊂ phase cells ±2
+    c2 = {"w": PH.expand_s1(tail_p["conv2"]["w"]),
+          "b": PH.tile4(tail_p["conv2"]["b"])}
+    o = jnp.tanh(N.conv2d(c2, t2, padding=0))
+    return PH.depth_to_space(o)
 
 
 def _stem_plain(x, head_p):

@@ -1,0 +1,237 @@
+"""Phase-space (space-to-depth) formulation of the generator's full-res band.
+
+The model's worst-mapped region is the full-resolution C=12 band: the stem
+(conv5x5 3->12 + ResBlock + stride-2 ds conv, ref v3:123-127, :297-298) and
+the tail (convT 24->12 + conv3x3 + reflect-pad conv7x7 + tanh, ref
+:301-322, :348-383).  Twelve channels starve the 128-lane units, and at
+batch>=8 XLA flips the whole band to a batch-sublane layout (the b8 cliff,
+BASELINE.md); even at the b7 sweet spot the band's layout-assignment copies
+are ~4 ms of a 30 ms step (scripts/profile_hlo.py r3: copies = 47.6% of
+device time).
+
+This module removes the band entirely: every full-res tensor is stored as
+its 2x2 space-to-depth transform — a half-res tensor with 4x the channels
+([B,512,512,12] -> [B,256,256,48]) — and every full-res conv becomes an
+exactly-equivalent half-res conv on phase-space weights:
+
+  * stride-1 k=2r+1 conv  ->  K-cell phase conv, W_ps[t, pi, po] = w[d],
+    d = 2t + pi - po (|d| <= r; zero otherwise), K = 2*ceil(r/2)+1;
+  * ConvTranspose2d(4, s2, p1) (stored pre-flipped for the dilated-conv
+    form, ops/nn.py) -> K3 phase conv from the half-res trunk,
+    W_ps[t, po] = w[m], m = 2t + 2 - po (m in [0,4));
+  * stride-2 k3 ds conv -> K2 conv consuming phases,
+    W_ps[t, pi] = w[m], m = 2t + pi + 1 (m in [0,3); pad (1,0));
+  * ReflectionPad2d preserves parity (full col -k <-> k, both parity k),
+    so it is a per-phase cell shift: left pad cell -q of phase b is cell
+    (q - b) of the SAME phase; right pad cell (n-1)+q is cell n - q - b.
+  * ActNorm is per-channel affine -> tile params x4; InstanceNorm over the
+    full-res plane -> stats over (H, W, phase) per channel group.
+
+Zero-pad correctness at borders falls out of the weight zeros: any phase
+tap that would read beyond the full-res zero-pad halo has d outside
+[-r, r] and therefore zero weight.
+
+Cost: the dense phase kernels carry parity-mismatch zeros, adding ~2.4
+GFLOP/img (+2.4%) of MXU work in exchange for deleting the band's HBM
+layout copies and the entire b>=8 pathology — measured end-to-end in
+BASELINE.md.  Channel packing is (py*2+px)*C + c (py major), matching
+space_to_depth below everywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
+                                 ("NHWC", "HWIO", "NHWC"))
+
+
+def space_to_depth(x):
+    """[B, 2H, 2W, C] -> [B, H, W, 4C], channel index (py*2+px)*C + c."""
+    b, h2, w2, c = x.shape
+    x = x.reshape(b, h2 // 2, 2, w2 // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h2 // 2, w2 // 2, 4 * c)
+
+
+def depth_to_space(x):
+    """Inverse of space_to_depth: [B, H, W, 4C] -> [B, 2H, 2W, C]."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def _phase_window(r: int):
+    """Union cell window [tmin, tmax] over both output phases for a
+    stride-1 full-res conv of radius r (floor(-r/2) .. floor((1+r)/2))."""
+    return -((r + 1) // 2), (1 + r) // 2
+
+
+_SEL_CACHE: dict = {}
+
+
+def _sel_s1(k: int):
+    """Constant selection tensor S[K,K,4(pi),4(po),k,k]: S=1 where phase
+    tap (ty,tx,pi,po) reads full-res tap (dy,dx)."""
+    import numpy as np
+    key = ("s1", k)
+    if key not in _SEL_CACHE:
+        r = (k - 1) // 2
+        tmin, tmax = _phase_window(r)
+        K = tmax - tmin + 1
+        s = np.zeros((K, K, 4, 4, k, k), np.float32)
+        for ty in range(tmin, tmax + 1):
+            for tx in range(tmin, tmax + 1):
+                for piy in range(2):
+                    for pix in range(2):
+                        for poy in range(2):
+                            for pox in range(2):
+                                dy = 2 * ty + piy - poy
+                                dx = 2 * tx + pix - pox
+                                if abs(dy) > r or abs(dx) > r:
+                                    continue
+                                s[ty - tmin, tx - tmin,
+                                  piy * 2 + pix, poy * 2 + pox,
+                                  r + dy, r + dx] = 1.0
+        _SEL_CACHE[key] = s
+    return _SEL_CACHE[key]
+
+
+def _sel_convT():
+    """S[3,3,4(po),4,4] for ConvTranspose2d(4, s2, p1) in pre-flipped
+    dilated-conv layout (ops/nn.py)."""
+    import numpy as np
+    key = ("convT",)
+    if key not in _SEL_CACHE:
+        s = np.zeros((3, 3, 4, 4, 4), np.float32)
+        for ty in range(-1, 2):
+            for tx in range(-1, 2):
+                for poy in range(2):
+                    for pox in range(2):
+                        my = 2 * ty + 2 - poy
+                        mx = 2 * tx + 2 - pox
+                        if 0 <= my < 4 and 0 <= mx < 4:
+                            s[ty + 1, tx + 1, poy * 2 + pox, my, mx] = 1.0
+        _SEL_CACHE[key] = s
+    return _SEL_CACHE[key]
+
+
+def _sel_ds():
+    """S[2,2,4(pi),3,3] for the stride-2 k3 p1 full->half ds conv."""
+    import numpy as np
+    key = ("ds",)
+    if key not in _SEL_CACHE:
+        s = np.zeros((2, 2, 4, 3, 3), np.float32)
+        for ty in range(-1, 1):
+            for tx in range(-1, 1):
+                for piy in range(2):
+                    for pix in range(2):
+                        my = 2 * ty + piy + 1
+                        mx = 2 * tx + pix + 1
+                        if 0 <= my < 3 and 0 <= mx < 3:
+                            s[ty + 1, tx + 1, piy * 2 + pix, my, mx] = 1.0
+        _SEL_CACHE[key] = s
+    return _SEL_CACHE[key]
+
+
+def expand_s1(w):
+    """Full-res stride-1 conv [k,k,ci,co] (odd k, zero-pad r) -> phase-space
+    [K,K,4ci,4co].  Apply with symmetric pad (K-1)//2 (the parity-mismatch
+    slots are zero; border zero-pad correctness follows)."""
+    k, _, ci, co = w.shape
+    s = jnp.asarray(_sel_s1(k), w.dtype)
+    out = jnp.einsum("ABqpyx,yxio->ABqipo", s, w)
+    K = s.shape[0]
+    return out.reshape(K, K, 4 * ci, 4 * co)
+
+
+def expand_convT(w):
+    """ConvTranspose2d(k=4, s2, p1) pre-flipped weight [4,4,ci,co] -> phase
+    conv [3,3,ci,4co] from the half-res trunk.  Apply with pad 1."""
+    _, _, ci, co = w.shape
+    s = jnp.asarray(_sel_convT(), w.dtype)
+    out = jnp.einsum("ABpyx,yxio->ABipo", s, w)
+    return out.reshape(3, 3, ci, 4 * co)
+
+
+def expand_ds(w):
+    """Stride-2 k3 p1 full->half conv [3,3,ci,co] -> phase-consuming K2
+    conv [2,2,4ci,co].  Apply with pad ((1,0),(1,0))."""
+    _, _, ci, co = w.shape
+    s = jnp.asarray(_sel_ds(), w.dtype)
+    out = jnp.einsum("ABqyx,yxio->ABqio", s, w)
+    return out.reshape(2, 2, 4 * ci, co)
+
+
+def conv_ps(x, w, padding):
+    """Phase-space conv: stride 1, explicit per-dim (lo, hi) padding."""
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    return lax.conv_general_dilated(x, w.astype(x.dtype), (1, 1), padding,
+                                    dimension_numbers=_DN)
+
+
+def tile4(v):
+    """Per-full-res-channel vector [C] -> phase-space [4C]."""
+    return jnp.tile(v, 4)
+
+
+def reflect_pad_ps(x, p_cells: int):
+    """Phase-space equivalent of full-res ReflectionPad2d: parity is
+    preserved, so each phase plane pads with its own shifted cells
+    (left cell -q of phase b = cell q - b; right cell (n-1)+q = n - q - b).
+    Pads p_cells cells on each side of H and W."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    v = x.reshape(b, h, w, 2, 2, c)
+
+    def pad_axis(v, axis, n, phase_axis):
+        a0 = jax.lax.index_in_dim(v, 0, phase_axis, keepdims=False)
+        a1 = jax.lax.index_in_dim(v, 1, phase_axis, keepdims=False)
+        # after squeezing phase_axis, the cell axis index is unchanged
+        # (phase axes come after the spatial axes in our layout)
+        sl = lambda t, lo, hi: lax.slice_in_dim(t, lo, hi, axis=axis)
+        flip = lambda t: jnp.flip(t, axis=axis)
+        top0 = flip(sl(a0, 1, p_cells + 1))          # cells q, q=p..1
+        top1 = flip(sl(a1, 0, p_cells))              # cells q-1
+        bot0 = flip(sl(a0, n - p_cells, n))          # cells n-q
+        bot1 = flip(sl(a1, n - p_cells - 1, n - 1))  # cells n-q-1
+        a0 = jnp.concatenate([top0, a0, bot0], axis=axis)
+        a1 = jnp.concatenate([top1, a1, bot1], axis=axis)
+        return jnp.stack([a0, a1], axis=phase_axis)
+
+    v = pad_axis(v, 1, h, 3)   # rows, phase py at axis 3
+    v = pad_axis(v, 2, w, 4)   # cols, phase px at axis 4
+    return v.reshape(b, h + 2 * p_cells, w + 2 * p_cells, c4)
+
+
+def instance_norm_ps(x, eps: float = 1e-5):
+    """Full-res InstanceNorm computed in phase space: per-channel stats
+    over (H, W, 4 phases)."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    v = x.reshape(b, h, w, 4, c)
+    mu = jnp.mean(v, axis=(1, 2, 3), keepdims=True)
+    var = jnp.mean(jnp.square(v - mu), axis=(1, 2, 3), keepdims=True)
+    return ((v - mu) * lax.rsqrt(var + eps)).reshape(b, h, w, c4)
+
+
+def use_phase_space() -> bool:
+    """CFEN_PHASE_SPACE=1 forces, =0 disables; auto (default) is ON on TPU
+    — measured across the batch sweep in BASELINE.md (the plain path
+    remains for parity tests and the ActNorm init pass)."""
+    flag = os.environ.get("CFEN_PHASE_SPACE", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False

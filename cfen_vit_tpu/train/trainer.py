@@ -195,8 +195,10 @@ class GanTrainer:
             g, d, vgg = cast(g), cast(d), cast(vgg)
             batch = {k: (v.astype(cdt) if hasattr(v, "astype") else v)
                      for k, v in batch.items()}
-        out = generator_forward(g, self.spec, batch["B"],
-                                remat=cfg.remat)
+        out = generator_forward(
+            g, self.spec, batch["B"],
+            remat=(getattr(cfg, "remat_mode", "level") or "level")
+            if cfg.remat else "none")
         fakes, reals = {}, {}
         # dec_ipt has no raw 'd' decoder; its SpatialPyramid-refined xdh is
         # the dehazed output (ref dec_mgvit_model.py:90)

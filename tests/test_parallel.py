@@ -91,3 +91,40 @@ def test_dp_train_step_matches_single_device(rng, tmp_path):
     for k in l1:
         assert abs(l1[k] - l8[k]) < 5e-3 * max(1.0, abs(l1[k])), (
             k, l1[k], l8[k])
+
+
+@pytest.mark.nightly
+def test_dp_train_step_canonical_geometry(rng, tmp_path):
+    """VERDICT r2 #8: sharded-vs-single train-step parity at the shapes
+    users actually run — 512px inputs, n_feats=24 canonical v3 — on a
+    2-way mesh.  Nightly: two full-geometry train compiles on 1 CPU core."""
+    from cfen_vit_tpu.config import Config
+    from cfen_vit_tpu.train.trainer import GanTrainer
+
+    def batch():
+        r = np.random.RandomState(11)
+        return {
+            "B": r.rand(2, 512, 512, 3).astype(np.float32) * 2 - 1,
+            "A": r.rand(2, 512, 512, 3).astype(np.float32) * 2 - 1,
+            "R": r.rand(2, 512, 512, 3).astype(np.float32) * 2 - 1,
+            "S": r.rand(2, 512, 512, 1).astype(np.float32) * 2 - 1,
+            "B_paths": [f"{i}.png" for i in range(2)],
+        }
+
+    def run(mesh_shape):
+        cfg = Config(dataroot=str(tmp_path), name=f"cg{mesh_shape}",
+                     isTrain=True, checkpoints_dir=str(tmp_path / "c"),
+                     n_feats=24, loadSize=256, patch_size=32, num_heads=4,
+                     hidden_dim_ratio=4, batchSize=2, pool_size=2,
+                     mesh_shape=mesh_shape, sb=True, remat=False)
+        tr = GanTrainer(cfg)
+        tr.setup(cfg)
+        tr.set_input(batch())
+        tr.optimize_parameters(cfg)
+        return tr.get_current_losses()
+
+    l1 = run("1")
+    l2 = run("2")
+    for k in l1:
+        assert abs(l1[k] - l2[k]) < 5e-3 * max(1.0, abs(l1[k])), (
+            k, l1[k], l2[k])

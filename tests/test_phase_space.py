@@ -1,0 +1,146 @@
+"""Phase-space reformulation equivalence (ops/phase_space.py).
+
+The phase path must be numerically equivalent (fp reassociation only) to
+the plain full-res band — these tests pin that op by op and end to end,
+including gradients, so the TPU fast path can ship as the default without
+a golden-parity risk."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cfen_vit_tpu.ops import nn as N
+from cfen_vit_tpu.ops import phase_space as PH
+
+
+def test_s2d_roundtrip(rng):
+    x = jnp.asarray(rng.randn(2, 8, 10, 3).astype(np.float32))
+    ps = PH.space_to_depth(x)
+    assert ps.shape == (2, 4, 5, 12)
+    # channel packing: (py*2+px)*C + c
+    np.testing.assert_allclose(np.asarray(ps[0, 0, 0, 3 * 3 + 1]),
+                               np.asarray(x[0, 1, 1, 1]))
+    np.testing.assert_allclose(np.asarray(PH.depth_to_space(ps)),
+                               np.asarray(x))
+
+
+@pytest.mark.parametrize("k", [3, 5, 7])
+def test_phase_conv_s1_matches_full_res(rng, k):
+    ci, co = 4, 5
+    x = jnp.asarray(rng.randn(2, 16, 16, ci).astype(np.float32))
+    p = {"w": jnp.asarray(rng.randn(k, k, ci, co).astype(np.float32) * 0.2),
+         "b": jnp.asarray(rng.randn(co).astype(np.float32))}
+    ref = N.conv2d(p, x, padding=(k - 1) // 2)
+    wp = PH.expand_s1(p["w"])
+    pad = (wp.shape[0] - 1) // 2
+    got = N.conv2d({"w": wp, "b": PH.tile4(p["b"])},
+                   PH.space_to_depth(x), padding=pad)
+    np.testing.assert_allclose(np.asarray(PH.depth_to_space(got)),
+                               np.asarray(ref), atol=1e-5)
+
+
+def test_phase_convT_matches_full_res(rng):
+    ci, co = 6, 4
+    x = jnp.asarray(rng.randn(2, 8, 8, ci).astype(np.float32))
+    p = {"w": jnp.asarray(rng.randn(4, 4, ci, co).astype(np.float32) * 0.2),
+         "b": jnp.asarray(rng.randn(co).astype(np.float32))}
+    ref = N.conv_transpose2d(p, x, stride=2, padding=1, kernel=4)
+    got = PH.conv_ps(x, PH.expand_convT(p["w"]), 1) \
+        + PH.tile4(p["b"])
+    np.testing.assert_allclose(np.asarray(PH.depth_to_space(got)),
+                               np.asarray(ref), atol=1e-5)
+
+
+def test_phase_ds_conv_matches_full_res(rng):
+    ci, co = 3, 7
+    x = jnp.asarray(rng.randn(2, 16, 16, ci).astype(np.float32))
+    p = {"w": jnp.asarray(rng.randn(3, 3, ci, co).astype(np.float32) * 0.2),
+         "b": jnp.asarray(rng.randn(co).astype(np.float32))}
+    ref = N.conv2d(p, x, stride=2, padding=1)
+    got = PH.conv_ps(PH.space_to_depth(x), PH.expand_ds(p["w"]),
+                     ((1, 0), (1, 0))) + p["b"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_phase_reflect_pad_matches_full_res(rng):
+    x = jnp.asarray(rng.randn(1, 16, 12, 2).astype(np.float32))
+    # full-res reflect 3/4 both live inside phase cells +-2 — compare the
+    # phase pad's full-res view on the region reflect-4 defines
+    ref = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)), mode="reflect")
+    got = PH.depth_to_space(PH.reflect_pad_ps(PH.space_to_depth(x), 2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
+
+
+def test_phase_instance_norm_matches_full_res(rng):
+    x = jnp.asarray(rng.randn(2, 16, 16, 5).astype(np.float32))
+    ref = N.instance_norm(x)
+    got = PH.depth_to_space(PH.instance_norm_ps(PH.space_to_depth(x)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def _tiny_spec():
+    from dataclasses import replace
+    from cfen_vit_tpu.models.registry import generator_spec
+    return replace(generator_spec("iid_hlgvit_crs_gd4_cfs_v3"), n_feats=8,
+                   load_size=64, patch_size=8, num_heads=2,
+                   hidden_dim_ratio=2)
+
+
+@pytest.mark.slow
+def test_generator_phase_space_equivalence(rng):
+    """Full generator: CFEN_PHASE_SPACE=1 vs =0 — outputs and grads."""
+    from cfen_vit_tpu.models.generator import (generator_init,
+                                               generator_forward)
+    spec = _tiny_spec()
+    p = generator_init(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray(rng.rand(2, 128, 128, 3).astype(np.float32) * 2 - 1)
+    _, p = jax.jit(lambda q, v: generator_forward(
+        q, spec, v, actnorm_init=True))(p, x)
+
+    def run(q, v):
+        return generator_forward(q, spec, v)
+
+    def loss(q, v):
+        o = run(q, v)
+        return sum(jnp.sum(jnp.square(t)) for t in o.values())
+
+    # f32 forward equivalence (reassociation-level)
+    os.environ["CFEN_PHASE_SPACE"] = "0"
+    try:
+        ref = jax.jit(run)(p, x)
+    finally:
+        os.environ["CFEN_PHASE_SPACE"] = "1"
+    try:
+        got = jax.jit(run)(p, x)
+    finally:
+        del os.environ["CFEN_PHASE_SPACE"]
+    for k in ref:
+        d = float(jnp.max(jnp.abs(got[k] - ref[k])))
+        assert d < 2e-5, (k, d)
+
+    # Gradient equivalence in float64 — the formulations are EXACT, so the
+    # f64 backward must agree to near machine precision (f32 grads differ
+    # by reassociation noise amplified through 3 levels of IN/ActNorm,
+    # which would force a meaninglessly loose tolerance).
+    with jax.enable_x64(True):
+        p64 = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float64)
+            if a.dtype == jnp.float32 else a, p)
+        x64 = x.astype(jnp.float64)
+        os.environ["CFEN_PHASE_SPACE"] = "0"
+        try:
+            ref_g = jax.jit(jax.grad(loss))(p64, x64)
+        finally:
+            os.environ["CFEN_PHASE_SPACE"] = "1"
+        try:
+            got_g = jax.jit(jax.grad(loss))(p64, x64)
+        finally:
+            del os.environ["CFEN_PHASE_SPACE"]
+        for a, b in zip(jax.tree_util.tree_leaves(ref_g),
+                        jax.tree_util.tree_leaves(got_g)):
+            scale = float(jnp.max(jnp.abs(a))) + 1.0
+            assert float(jnp.max(jnp.abs(a - b))) < 1e-7 * scale
