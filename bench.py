@@ -48,10 +48,10 @@ def _watchdog(seconds: float):
 
 def main():
     ap = argparse.ArgumentParser()
-    # batch 7 is the measured single-chip sweet spot (see BASELINE.md
-    # sweep: throughput climbs to b7 = 200 img/s, then an HBM/fusion
-    # cliff at b8-b12)
-    ap.add_argument("--batch", type=int, default=7)
+    # batch 8 is the r3 single-chip sweet spot (BASELINE.md sweep): the
+    # phase-space band formulation killed the old b>=8 layout cliff and
+    # b8 = 257 img/s now beats the former b7 peak (226)
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])

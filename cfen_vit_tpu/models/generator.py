@@ -551,7 +551,8 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None,
     # kernel and the plain path remain for fallback/parity/init.
     from ..ops import pallas_stem as PS
     from ..ops import phase_space as PH
-    phase = (not an.init and spec.half_res_trunk and PH.use_phase_space())
+    phase = (not an.init and spec.half_res_trunk
+             and PH.use_phase_space(x.shape[0]))
     if phase:
         xf = N.relu(N.instance_norm(
             _stem_ds_phase(x, p["head"], p["ds_e01"]["conv"])))

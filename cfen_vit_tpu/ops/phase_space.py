@@ -222,16 +222,20 @@ def instance_norm_ps(x, eps: float = 1e-5):
     return ((v - mu) * lax.rsqrt(var + eps)).reshape(b, h, w, c4)
 
 
-def use_phase_space() -> bool:
+def use_phase_space(batch: int = 8) -> bool:
     """CFEN_PHASE_SPACE=1 forces, =0 disables; auto (default) is ON on TPU
-    — measured across the batch sweep in BASELINE.md (the plain path
-    remains for parity tests and the ActNorm init pass)."""
+    at batch>=8.  Measured (v5e 512px bf16, BASELINE.md r3 sweep): the
+    phase form's dense-kernel overhead (+8.7 GFLOP/img) loses ~3% where
+    XLA's full-res layout is good (b7: 218 vs 224) and wins big where it
+    flips to batch-sublane (b8: 257 vs 183; b16: 242 vs 180) — same
+    crossover as the retired tail epilogue kernel."""
     flag = os.environ.get("CFEN_PHASE_SPACE", "auto")
     if flag == "0":
         return False
-    if flag == "1":
-        return True
     try:
-        return jax.devices()[0].platform in ("tpu", "axon")
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False
+    if flag == "1":
+        return True
+    return on_tpu and batch >= 8

@@ -172,11 +172,13 @@ class Batcher:
             batch = np.stack([it[0] for it in items]
                              + [items[-1][0]] * (padded - b))
             try:
+                td0 = time.perf_counter()
                 self.model.set_input(
                     {"B": _model_input(self.model, batch),
                      "B_paths": ["req"] * padded})
                 visuals = self.model.test(self.cfg)
                 outs = visuals["fake_A"]
+                self.stats.add("dev_t", time.perf_counter() - td0)
                 for i, (_, ev, slot) in enumerate(items):
                     slot["out"] = outs[i]
                     ev.set()
@@ -240,7 +242,11 @@ def make_handler(cfg, model, size, stats, max_batch: int = 4,
                                  "max_batch_seen": stats.get("max_seen", 0),
                                  "mean_latency_ms": round(
                                      stats.get("t", 0.0)
-                                     / max(stats.get("n", 0), 1) * 1e3, 2)})
+                                     / max(stats.get("n", 0), 1) * 1e3, 2),
+                                 "mean_device_ms_per_batch": round(
+                                     stats.get("dev_t", 0.0)
+                                     / max(stats.get("batches", 0), 1)
+                                     * 1e3, 2)})
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -248,6 +254,7 @@ def make_handler(cfg, model, size, stats, max_batch: int = 4,
             if not self.path.startswith("/dehaze"):
                 self._json(404, {"error": "unknown path"})
                 return
+            t_in = time.perf_counter()
             length = int(self.headers.get("Content-Length", 0))
             raw = self.rfile.read(length)
             try:
@@ -261,14 +268,21 @@ def make_handler(cfg, model, size, stats, max_batch: int = 4,
             except Exception as e:
                 self._json(500, {"error": str(e)})
                 return
-            dt = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            dt = t1 - t0
             stats.add("n", 1)
             stats.add("t", dt)
             body = _encode(_to_u8(out))
+            t2 = time.perf_counter()
             self.send_response(200)
             self.send_header("Content-Type", "image/png")
             self.send_header("Content-Length", str(len(body)))
             self.send_header("X-Latency-Ms", f"{dt * 1e3:.1f}")
+            # latency breakdown so the residual over device time is
+            # attributable (VERDICT r2 #4): decode, queue+model, encode
+            self.send_header("X-Decode-Ms", f"{(t0 - t_in) * 1e3:.1f}")
+            self.send_header("X-Model-Ms", f"{dt * 1e3:.1f}")
+            self.send_header("X-Encode-Ms", f"{(t2 - t1) * 1e3:.1f}")
             self.end_headers()
             self.wfile.write(body)
 
@@ -279,7 +293,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser(add_help=False)
     ap.add_argument("--port", type=int, default=8600)
     ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--max_batch", type=int, default=4)
+    ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--batch_window_ms", type=float, default=3.0)
     args, rest = ap.parse_known_args(argv)
 
