@@ -714,14 +714,20 @@ def _stem_ds_phase(x, head_p, ds_conv_p):
     C=12 tensors never exist."""
     from ..ops import phase_space as PH
     xp = PH.space_to_depth(x)                                 # [B,H/2,W/2,12]
-    hp = {"w": PH.expand_s1(head_p["conv"]["w"]),
-          "b": PH.tile4(head_p["conv"]["b"])}
-    h = N.conv2d(hp, xp, padding=1)
-    c1 = {"w": PH.expand_s1(head_p["res"]["c1"]["w"]),
-          "b": PH.tile4(head_p["res"]["c1"]["b"])}
-    c2 = {"w": PH.expand_s1(head_p["res"]["c2"]["w"]),
-          "b": PH.tile4(head_p["res"]["c2"]["b"])}
-    r2 = N.conv2d(c2, N.relu(N.conv2d(c1, h, padding=1)), padding=1)
+    if PH.use_sparse_phase():
+        conv = lambda pp, v, _pp=0: PH.conv_s1_sparse(v, pp["w"], pp["b"])
+        h = conv(head_p["conv"], xp)
+        r1 = N.relu(conv(head_p["res"]["c1"], h))
+        r2 = conv(head_p["res"]["c2"], r1)
+    else:
+        hp = {"w": PH.expand_s1(head_p["conv"]["w"]),
+              "b": PH.tile4(head_p["conv"]["b"])}
+        h = N.conv2d(hp, xp, padding=1)
+        c1 = {"w": PH.expand_s1(head_p["res"]["c1"]["w"]),
+              "b": PH.tile4(head_p["res"]["c1"]["b"])}
+        c2 = {"w": PH.expand_s1(head_p["res"]["c2"]["w"]),
+              "b": PH.tile4(head_p["res"]["c2"]["b"])}
+        r2 = N.conv2d(c2, N.relu(N.conv2d(c1, h, padding=1)), padding=1)
     xf_ps = h + r2
     ds = PH.conv_ps(xf_ps, PH.expand_ds(ds_conv_p["w"]),
                     ((1, 0), (1, 0)))
@@ -735,15 +741,23 @@ def _tail_phase(t, us_p, tail_p, spec: GenSpec, b: str):
     Numerically equivalent to the plain tail (fp reassociation only)."""
     from ..ops import phase_space as PH
     dt = t.dtype
-    y = PH.conv_ps(t, PH.expand_convT(us_p["conv"]["w"]), 1)
-    y = y + PH.tile4(us_p["conv"]["b"]).astype(dt)
+    sparse = PH.use_sparse_phase()
+    if sparse:
+        y = PH.convT_sparse(t, us_p["conv"]["w"], us_p["conv"]["b"])
+    else:
+        y = PH.conv_ps(t, PH.expand_convT(us_p["conv"]["w"]), 1)
+        y = y + PH.tile4(us_p["conv"]["b"]).astype(dt)
     # us ActNorm + ReLU (per-channel affine -> params tiled over phases)
     y = (y + PH.tile4(us_p["an"]["b"]).astype(dt)) \
         * jnp.exp(PH.tile4(us_p["an"]["w"])).astype(dt)
     y = N.relu(y)
-    c1 = {"w": PH.expand_s1(tail_p["conv1"]["w"]),
-          "b": PH.tile4(tail_p["conv1"]["b"])}
-    t2 = N.conv2d(c1, y, padding=1)
+    if sparse:
+        t2 = PH.conv_s1_sparse(y, tail_p["conv1"]["w"],
+                               tail_p["conv1"]["b"])
+    else:
+        c1 = {"w": PH.expand_s1(tail_p["conv1"]["w"]),
+              "b": PH.tile4(tail_p["conv1"]["b"])}
+        t2 = N.conv2d(c1, y, padding=1)
     if "an" in tail_p:
         t2 = (t2 + PH.tile4(tail_p["an"]["b"]).astype(dt)) \
             * jnp.exp(PH.tile4(tail_p["an"]["w"])).astype(dt)
@@ -751,9 +765,13 @@ def _tail_phase(t, us_p, tail_p, spec: GenSpec, b: str):
         t2 = PH.instance_norm_ps(t2)
     t2 = N.relu(t2)
     t2 = PH.reflect_pad_ps(t2, 2)   # full-res reflect 3 ⊂ phase cells ±2
-    c2 = {"w": PH.expand_s1(tail_p["conv2"]["w"]),
-          "b": PH.tile4(tail_p["conv2"]["b"])}
-    o = jnp.tanh(N.conv2d(c2, t2, padding=0))
+    if sparse:
+        o = jnp.tanh(PH.conv_s1_sparse(t2, tail_p["conv2"]["w"],
+                                       tail_p["conv2"]["b"], prepadded=2))
+    else:
+        c2 = {"w": PH.expand_s1(tail_p["conv2"]["w"]),
+              "b": PH.tile4(tail_p["conv2"]["b"])}
+        o = jnp.tanh(N.conv2d(c2, t2, padding=0))
     return PH.depth_to_space(o)
 
 

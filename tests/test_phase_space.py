@@ -55,6 +55,43 @@ def test_phase_convT_matches_full_res(rng):
                                np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.parametrize("k", [3, 5, 7])
+def test_sparse_phase_conv_matches_dense(rng, k):
+    ci, co = 4, 5
+    x = jnp.asarray(rng.randn(2, 16, 16, ci).astype(np.float32))
+    p = {"w": jnp.asarray(rng.randn(k, k, ci, co).astype(np.float32) * 0.2),
+         "b": jnp.asarray(rng.randn(co).astype(np.float32))}
+    ref = N.conv2d(p, x, padding=(k - 1) // 2)
+    got = PH.conv_s1_sparse(PH.space_to_depth(x), p["w"], p["b"])
+    np.testing.assert_allclose(np.asarray(PH.depth_to_space(got)),
+                               np.asarray(ref), atol=1e-5)
+
+
+def test_sparse_phase_conv_prepadded(rng):
+    """conv7 over the reflect-padded tensor: sparse VALID slices must equal
+    full-res reflect-pad + conv."""
+    ci, co = 3, 2
+    x = jnp.asarray(rng.randn(1, 16, 16, ci).astype(np.float32))
+    w = jnp.asarray(rng.randn(7, 7, ci, co).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.randn(co).astype(np.float32))
+    ref = N.conv2d({"w": w, "b": b}, N.reflection_pad(x, 3), padding=0)
+    padded = PH.reflect_pad_ps(PH.space_to_depth(x), 2)
+    got = PH.conv_s1_sparse(padded, w, b, prepadded=2)
+    np.testing.assert_allclose(np.asarray(PH.depth_to_space(got)),
+                               np.asarray(ref), atol=1e-5)
+
+
+def test_sparse_phase_convT_matches_full_res(rng):
+    ci, co = 6, 4
+    x = jnp.asarray(rng.randn(2, 8, 8, ci).astype(np.float32))
+    p = {"w": jnp.asarray(rng.randn(4, 4, ci, co).astype(np.float32) * 0.2),
+         "b": jnp.asarray(rng.randn(co).astype(np.float32))}
+    ref = N.conv_transpose2d(p, x, stride=2, padding=1, kernel=4)
+    got = PH.convT_sparse(x, p["w"], p["b"])
+    np.testing.assert_allclose(np.asarray(PH.depth_to_space(got)),
+                               np.asarray(ref), atol=1e-5)
+
+
 def test_phase_ds_conv_matches_full_res(rng):
     ci, co = 3, 7
     x = jnp.asarray(rng.randn(2, 16, 16, ci).astype(np.float32))
@@ -91,10 +128,13 @@ def _tiny_spec():
 
 
 @pytest.mark.slow
-def test_generator_phase_space_equivalence(rng):
-    """Full generator: CFEN_PHASE_SPACE=1 vs =0 — outputs and grads."""
+@pytest.mark.parametrize("sparse", ["0", "1"])
+def test_generator_phase_space_equivalence(rng, sparse):
+    """Full generator: CFEN_PHASE_SPACE=1 vs =0 — outputs and grads —
+    for both the dense and the per-phase (sparse) kernel forms."""
     from cfen_vit_tpu.models.generator import (generator_init,
                                                generator_forward)
+    os.environ["CFEN_PHASE_SPARSE"] = sparse
     spec = _tiny_spec()
     p = generator_init(jax.random.PRNGKey(0), spec)
     x = jnp.asarray(rng.rand(2, 128, 128, 3).astype(np.float32) * 2 - 1)
@@ -144,3 +184,4 @@ def test_generator_phase_space_equivalence(rng):
                         jax.tree_util.tree_leaves(got_g)):
             scale = float(jnp.max(jnp.abs(a))) + 1.0
             assert float(jnp.max(jnp.abs(a - b))) < 1e-7 * scale
+    del os.environ["CFEN_PHASE_SPARSE"]
