@@ -554,8 +554,13 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None,
     phase = (not an.init and spec.half_res_trunk
              and PH.use_phase_space(x.shape[0]))
     if phase:
+        stem_fn = _stem_ds_phase
+        if mode != "none":
+            # under remat, the phase band checkpoints like everything else
+            # (unchecked it spills at b>=8 training: 73 s/step vs 1.8)
+            stem_fn = jax.checkpoint(_stem_ds_phase)
         xf = N.relu(N.instance_norm(
-            _stem_ds_phase(x, p["head"], p["ds_e01"]["conv"])))
+            stem_fn(x, p["head"], p["ds_e01"]["conv"])))
     else:
         if (not an.init and PS.use_pallas_stem(x.shape[0])
                 and PS.supported(spec)):
@@ -676,7 +681,11 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None,
         if phase:
             # whole tail band (convT + norms + conv3x3 + reflect-pad +
             # conv7x7 + tanh) in phase space — see _tail_phase
-            out[b] = _tail_phase(t, p[f"us_d01{b}"], tp, spec, b)
+            tail_fn = _tail_phase
+            if mode != "none":
+                tail_fn = jax.checkpoint(_tail_phase,
+                                         static_argnums=(3, 4))
+            out[b] = tail_fn(t, p[f"us_d01{b}"], tp, spec, b)
             continue
         if spec.half_res_trunk:
             key = f"us_d01{b}"
