@@ -24,7 +24,7 @@ def main():
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     ap.add_argument("--remat", action="store_true")
-    ap.add_argument("--remat_mode", default="level",
+    ap.add_argument("--remat_mode", default="branch",
                     choices=["level", "level_dots", "vit", "branch"])
     ap.add_argument("--mrf_block", type=int, default=0,
                     help="ID-MRF streaming block size (0 = default 2048)")

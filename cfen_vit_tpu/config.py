@@ -162,10 +162,14 @@ class Config:
                                       # 4.5 vs 47 s/step on v5e. --no_remat
                                       # disables.
     no_remat: bool = False
-    remat_mode: str = "level"         # checkpoint granularity when remat is
+    remat_mode: str = "branch"        # checkpoint granularity when remat is
                                       # on: level | level_dots | vit |
-                                      # branch (generator_apply docstring;
-                                      # sweep table in BASELINE.md)
+                                      # branch.  branch (per-decoder-branch
+                                      # regions) won the r3 sweep: 4.62 vs
+                                      # 4.46 img/s at b4 and the only mode
+                                      # that fits b8 with the phase band
+                                      # (BASELINE.md; generator_apply
+                                      # docstring)
     self_ensemble: bool = False       # x8 dihedral ensemble at eval (the
                                       # reference declares --self_ensemble,
                                       # base_options.py; wired here)
