@@ -122,7 +122,17 @@ class Batcher:
 
     Batch sizes are padded up to the next power of two (<= max_batch) so
     the jitted program set stays small; padding rows repeat the last image
-    and are discarded.  The model is only ever touched from this thread."""
+    and are discarded.  The model is only ever touched from this thread.
+
+    On the plain path (u8 wire, no chop/self_ensemble) device calls are
+    PIPELINED with depth 2: batch N+1's host->device upload and compute
+    overlap batch N's readback.  This matters because the dev-box TPU
+    relay, not the chip, bounds serving throughput (measured r3: the relay
+    moves ~24-37 MB/s with a ~60 ms round-trip floor, so a b8 uint8 batch
+    costs ~340 ms of pure transfer vs ~31 ms of device compute —
+    BASELINE.md serving section)."""
+
+    DEPTH = 2
 
     def __init__(self, cfg, model, max_batch: int = 4,
                  window_ms: float = 3.0, stats=None):
@@ -132,6 +142,9 @@ class Batcher:
         self.window_s = max(0.0, float(window_ms)) / 1e3
         self.stats = stats if stats is not None else Stats()
         self.q: queue.Queue = queue.Queue()
+        self._direct = (getattr(model, "_u8_io", False)
+                        and not getattr(cfg, "chop", False)
+                        and not getattr(cfg, "self_ensemble", False))
         t = threading.Thread(target=self._loop, daemon=True)
         t.start()
 
@@ -145,50 +158,85 @@ class Batcher:
             raise RuntimeError(slot["err"])
         return slot["out"]
 
+    def _collect(self, first):
+        items = [first]
+        if self.window_s and self.max_batch > 1:
+            deadline = time.perf_counter() + self.window_s
+            while len(items) < self.max_batch:
+                left = deadline - time.perf_counter()
+                if left <= 0:
+                    break
+                try:
+                    items.append(self.q.get(timeout=left))
+                except queue.Empty:
+                    break
+        else:
+            while len(items) < self.max_batch:
+                try:
+                    items.append(self.q.get_nowait())
+                except queue.Empty:
+                    break
+        return items
+
+    def _dispatch(self, items):
+        """Build the padded batch and enqueue the device call; returns the
+        un-materialized device output (direct path) or host arrays."""
+        b = len(items)
+        padded = 1
+        while padded < b:
+            padded *= 2
+        padded = min(padded, self.max_batch)
+        batch = np.stack([it[0] for it in items]
+                         + [items[-1][0]] * (padded - b))
+        if self._direct:
+            import jax.numpy as jnp
+            out = self.model._fwd(self.model.params, jnp.asarray(batch))
+            return out["d"] if "d" in out else out["dh"]
+        self.model.set_input({"B": _model_input(self.model, batch),
+                              "B_paths": ["req"] * padded})
+        return self.model.test(self.cfg)["fake_A"]
+
+    def _finish(self, items, dev_out):
+        try:
+            td0 = time.perf_counter()
+            outs = np.asarray(dev_out)
+            self.stats.add("dev_t", time.perf_counter() - td0)
+            for i, (_, ev, slot) in enumerate(items):
+                slot["out"] = outs[i]
+                ev.set()
+        except Exception as e:  # surface to all waiters
+            for _, ev, slot in items:
+                slot["err"] = repr(e)
+                ev.set()
+        self.stats.add("batches", 1)
+        self.stats.add("batched_reqs", len(items))
+        self.stats.peak("max_seen", len(items))
+
     def _loop(self):
+        import collections
+        pending = collections.deque()
         while True:
-            items = [self.q.get()]
-            if self.window_s and self.max_batch > 1:
-                deadline = time.perf_counter() + self.window_s
-                while len(items) < self.max_batch:
-                    left = deadline - time.perf_counter()
-                    if left <= 0:
-                        break
-                    try:
-                        items.append(self.q.get(timeout=left))
-                    except queue.Empty:
-                        break
+            if pending:
+                try:
+                    first = self.q.get_nowait()
+                except queue.Empty:
+                    its, dev = pending.popleft()
+                    self._finish(its, dev)
+                    continue
             else:
-                while len(items) < self.max_batch:
-                    try:
-                        items.append(self.q.get_nowait())
-                    except queue.Empty:
-                        break
-            b = len(items)
-            padded = 1
-            while padded < b:
-                padded *= 2
-            padded = min(padded, self.max_batch)
-            batch = np.stack([it[0] for it in items]
-                             + [items[-1][0]] * (padded - b))
+                first = self.q.get()
+            items = self._collect(first)
             try:
-                td0 = time.perf_counter()
-                self.model.set_input(
-                    {"B": _model_input(self.model, batch),
-                     "B_paths": ["req"] * padded})
-                visuals = self.model.test(self.cfg)
-                outs = visuals["fake_A"]
-                self.stats.add("dev_t", time.perf_counter() - td0)
-                for i, (_, ev, slot) in enumerate(items):
-                    slot["out"] = outs[i]
-                    ev.set()
-            except Exception as e:  # surface to all waiters
+                dev = self._dispatch(items)
+            except Exception as e:
                 for _, ev, slot in items:
                     slot["err"] = repr(e)
                     ev.set()
-            self.stats.add("batches", 1)
-            self.stats.add("batched_reqs", b)
-            self.stats.peak("max_seen", b)
+                continue
+            pending.append((items, dev))
+            while len(pending) >= self.DEPTH:
+                its, d = pending.popleft()
+                self._finish(its, d)
 
 
 def _decode(raw: bytes, size: int):
