@@ -61,9 +61,14 @@ def main():
                          "eval passes --out_all, which discards R/S; XLA "
                          "DCEs their level-1 blocks + tails); 'all' = full "
                          "IID decomposition")
+    # r3: cold compiles of NEW programs through the axon tunnel reached
+    # 10-22 min (b8-level train: 1328 s); a watchdog that fires mid-compile
+    # os._exits the client and WEDGES the terminal-side service for hours
+    # (happened twice, r2 + r3).  Budget far above the worst observed
+    # compile; the watchdog exists for true execute-hangs only.
     ap.add_argument("--timeout", type=float,
                     default=float(__import__("os").environ.get(
-                        "CFEN_BENCH_TIMEOUT_S", 900)))
+                        "CFEN_BENCH_TIMEOUT_S", 2700)))
     args = ap.parse_args()
     watchdog = _watchdog(args.timeout)
 

@@ -132,10 +132,24 @@ def layer_norm(p, x, eps: float = 1e-5):
 
 
 def instance_norm(x, eps: float = 1e-5):
-    """InstanceNorm2d(affine=False, track_running_stats=False), NHWC."""
-    mu = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), axis=(1, 2), keepdims=True)
-    return (x - mu) * lax.rsqrt(var + eps)
+    """InstanceNorm2d(affine=False, track_running_stats=False), NHWC.
+
+    Stats are computed in f32 via a lane-efficient two-stage sum: reducing
+    [B,H,W*C] over H keeps all 128 lanes busy (a plain (H,W)-axis reduce
+    uses C=24 of 128 lanes and measured 4.5x slower on v5e); one-pass
+    E[x^2]-mu^2 halves the passes.  f32 stats also make the bf16 path
+    MORE accurate than per-dtype stats were."""
+    b, h, w, c = x.shape
+    x32 = x.astype(jnp.float32)
+    r = x32.reshape(b, h, w * c)
+    s1 = jnp.sum(r, axis=1).reshape(b, w, c).sum(axis=1)
+    s2 = jnp.sum(jnp.square(r), axis=1).reshape(b, w, c).sum(axis=1)
+    n = h * w
+    mu = s1 / n
+    var = jnp.maximum(s2 / n - jnp.square(mu), 0.0)
+    y = (x32 - mu[:, None, None, :]) * lax.rsqrt(var[:, None, None, :]
+                                                 + eps)
+    return y.astype(x.dtype)
 
 
 def actnorm_apply(p, x, init: bool = False):

@@ -290,13 +290,20 @@ def reflect_pad_ps(x, p_cells: int):
 
 def instance_norm_ps(x, eps: float = 1e-5):
     """Full-res InstanceNorm computed in phase space: per-channel stats
-    over (H, W, 4 phases)."""
+    over (H, W, 4 phases), lane-efficient two-stage f32 sums like
+    ops/nn.py instance_norm."""
     b, h, w, c4 = x.shape
     c = c4 // 4
-    v = x.reshape(b, h, w, 4, c)
-    mu = jnp.mean(v, axis=(1, 2, 3), keepdims=True)
-    var = jnp.mean(jnp.square(v - mu), axis=(1, 2, 3), keepdims=True)
-    return ((v - mu) * lax.rsqrt(var + eps)).reshape(b, h, w, c4)
+    x32 = x.astype(jnp.float32)
+    r = x32.reshape(b, h, w * c4)
+    s1 = jnp.sum(r, axis=1).reshape(b, w * 4, c).sum(axis=1)
+    s2 = jnp.sum(jnp.square(r), axis=1).reshape(b, w * 4, c).sum(axis=1)
+    n = h * w * 4
+    mu = (s1 / n)
+    var = jnp.maximum(s2 / n - jnp.square(mu), 0.0)
+    mu4 = jnp.tile(mu, 4)[:, None, None, :]
+    iv4 = jnp.tile(lax.rsqrt(var + eps), 4)[:, None, None, :]
+    return ((x32 - mu4) * iv4).astype(x.dtype)
 
 
 def use_phase_space(batch: int = 8) -> bool:
