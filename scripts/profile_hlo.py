@@ -60,6 +60,74 @@ def classify(name: str) -> str:
     return "other"
 
 
+def report(events, steps: int, wall: float, top: int, dump: str = ""):
+    import collections
+    per_op = collections.Counter()
+    per_class = collections.Counter()
+    total = 0
+    for name, dur in events:
+        per_op[name] += dur
+        per_class[classify(name)] += dur
+        total += dur
+    print(f"# wall {wall*1e3:.1f} ms/step, device busy "
+          f"{total/steps/1e6:.1f} ms/step")
+    print("\n== by class ==")
+    for cls, dur in per_class.most_common():
+        print(f"{dur/steps/1e6:8.2f} ms  {dur/total*100:5.1f}%  {cls}")
+    print(f"\n== top {top} ops ==")
+    for name, dur in per_op.most_common(top):
+        print(f"{dur/steps/1e6:8.2f} ms  {dur/total*100:5.1f}%  {name[:110]}")
+    if dump:
+        with open(dump, "w") as f:
+            for name, dur in per_op.most_common():
+                f.write(f"{dur/steps/1e6:.4f}\t{name}\n")
+        print(f"# full table -> {dump}")
+
+
+def profile_train(args):
+    """Per-HLO profile of the jitted GAN train step (the train-MFU
+    workstream's tool; VERDICT r2 #2)."""
+    import time as _t
+    import tempfile as _tf
+    import numpy as np
+    import jax
+    from cfen_vit_tpu.config import Config, enable_compilation_cache
+    enable_compilation_cache()
+    from cfen_vit_tpu.train.trainer import GanTrainer
+
+    cfg = Config(dataroot="/tmp", name="prof_train",
+                 checkpoints_dir="/tmp/prof_train_ckpt",
+                 n_feats=24, loadSize=args.size // 2,
+                 patch_size=args.size // 16, num_heads=4,
+                 hidden_dim_ratio=4, batchSize=args.batch, pool_size=50,
+                 sb=True, isTrain=True, compute_dtype=args.dtype)
+    tr = GanTrainer(cfg)
+    tr.setup(cfg)
+    rng = np.random.RandomState(0)
+    s = args.size
+    batch = {
+        "B": rng.rand(args.batch, s, s, 3).astype(np.float32) * 2 - 1,
+        "A": rng.rand(args.batch, s, s, 3).astype(np.float32) * 2 - 1,
+        "R": rng.rand(args.batch, s, s, 3).astype(np.float32) * 2 - 1,
+        "S": rng.rand(args.batch, s, s, 1).astype(np.float32) * 2 - 1,
+        "B_paths": [f"{i}.png" for i in range(args.batch)],
+    }
+    tr.set_input(batch)
+    tr.optimize_parameters(cfg)           # init + compile
+    float(tr.get_current_losses()["G"])
+
+    trace_dir = _tf.mkdtemp(prefix="hlo_train_trace_")
+    jax.profiler.start_trace(trace_dir)
+    t0 = _t.time()
+    for _ in range(args.steps):
+        tr.set_input(batch)
+        tr.optimize_parameters(cfg)
+    float(tr.get_current_losses()["G"])
+    wall = (_t.time() - t0) / args.steps
+    jax.profiler.stop_trace()
+    report(collect(trace_dir), args.steps, wall, args.top, args.dump)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=7)
@@ -68,7 +136,16 @@ def main():
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--train", action="store_true",
+                    help="profile the full GAN train step instead of the "
+                         "inference forward (uses the Config/GanTrainer "
+                         "path: remat per --remat_mode default)")
+    ap.add_argument("--dump", default="",
+                    help="also write the FULL per-op table to this file")
     args = ap.parse_args()
+
+    if args.train:
+        return profile_train(args)
 
     import numpy as np
     import jax
@@ -106,24 +183,7 @@ def main():
     wall = (time.time() - t0) / args.steps
     jax.profiler.stop_trace()
 
-    events = collect(trace_dir)
-    per_op = collections.Counter()
-    per_class = collections.Counter()
-    total = 0
-    for name, dur in events:
-        per_op[name] += dur
-        per_class[classify(name)] += dur
-        total += dur
-    steps = args.steps
-    print(f"# wall {wall*1e3:.1f} ms/step, device busy "
-          f"{total/steps/1e6:.1f} ms/step "
-          f"({total/steps/1e3/(wall*1e3)*100 if wall else 0:.0f}%)")
-    print("\n== by class ==")
-    for cls, dur in per_class.most_common():
-        print(f"{dur/steps/1e6:8.2f} ms  {dur/total*100:5.1f}%  {cls}")
-    print(f"\n== top {args.top} ops ==")
-    for name, dur in per_op.most_common(args.top):
-        print(f"{dur/steps/1e6:8.2f} ms  {dur/total*100:5.1f}%  {name[:110]}")
+    report(collect(trace_dir), args.steps, wall, args.top, args.dump)
 
 
 if __name__ == "__main__":
