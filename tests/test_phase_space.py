@@ -162,26 +162,51 @@ def test_generator_phase_space_equivalence(rng, sparse):
         d = float(jnp.max(jnp.abs(got[k] - ref[k])))
         assert d < 2e-5, (k, d)
 
-    # Gradient equivalence in float64 — the formulations are EXACT, so the
-    # f64 backward must agree to near machine precision (f32 grads differ
-    # by reassociation noise amplified through 3 levels of IN/ActNorm,
-    # which would force a meaninglessly loose tolerance).
-    with jax.enable_x64(True):
-        p64 = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.float64)
-            if a.dtype == jnp.float32 else a, p)
-        x64 = x.astype(jnp.float64)
-        os.environ["CFEN_PHASE_SPACE"] = "0"
-        try:
-            ref_g = jax.jit(jax.grad(loss))(p64, x64)
-        finally:
-            os.environ["CFEN_PHASE_SPACE"] = "1"
-        try:
-            got_g = jax.jit(jax.grad(loss))(p64, x64)
-        finally:
-            del os.environ["CFEN_PHASE_SPACE"]
-        for a, b in zip(jax.tree_util.tree_leaves(ref_g),
-                        jax.tree_util.tree_leaves(got_g)):
-            scale = float(jnp.max(jnp.abs(a))) + 1.0
-            assert float(jnp.max(jnp.abs(a - b))) < 1e-7 * scale
     del os.environ["CFEN_PHASE_SPARSE"]
+
+
+_F64_GRAD_CHECK = r"""
+import os, numpy as np, jax, jax.numpy as jnp
+jax.config.update("jax_enable_x64", True)
+from dataclasses import replace
+from cfen_vit_tpu.models.registry import generator_spec
+from cfen_vit_tpu.models.generator import generator_init, generator_forward
+spec = replace(generator_spec("iid_hlgvit_crs_gd4_cfs_v3"), n_feats=8,
+               load_size=64, patch_size=8, num_heads=2, hidden_dim_ratio=2)
+p = generator_init(jax.random.PRNGKey(0), spec)
+x = jnp.asarray(np.random.RandomState(5).rand(1, 128, 128, 3) * 2 - 1,
+                jnp.float64)
+_, p = jax.jit(lambda q, v: generator_forward(
+    q, spec, v, actnorm_init=True))(p, x)
+p = jax.tree_util.tree_map(
+    lambda a: a.astype(jnp.float64) if a.dtype != jnp.float64 else a, p)
+def loss(q, v):
+    o = generator_forward(q, spec, v)
+    return sum(jnp.sum(jnp.square(t)) for t in o.values())
+os.environ["CFEN_PHASE_SPACE"] = "0"
+ref_g = jax.jit(jax.grad(loss))(p, x)
+os.environ["CFEN_PHASE_SPACE"] = "1"
+got_g = jax.jit(jax.grad(loss))(p, x)
+worst = max(float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1.0))
+            for a, b in zip(jax.tree_util.tree_leaves(ref_g),
+                            jax.tree_util.tree_leaves(got_g)))
+assert worst < 1e-7, worst
+print("F64GRAD_OK", worst)
+"""
+
+
+@pytest.mark.slow
+def test_generator_phase_space_grads_f64_subprocess():
+    """Gradient equivalence in float64 — the formulations are EXACT, so
+    the f64 backward must agree to near machine precision (f32 grads
+    differ by reassociation noise amplified through 3 levels of
+    IN/ActNorm).  Runs in a fresh interpreter: toggling x64 mid-process
+    after many f32 compiles segfaulted XLA-CPU in the full-tier run."""
+    import subprocess
+    import sys
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", _F64_GRAD_CHECK], env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0 and "F64GRAD_OK" in r.stdout, (
+        r.stdout[-2000:], r.stderr[-2000:])
