@@ -38,7 +38,7 @@ from ..losses.gan import gan_loss
 from ..losses.vgg import vgg19_init, vgg_perceptual_loss
 from ..models.epdn import (local_enhancer_init, local_enhancer_apply,
                            multiscale_disc_init, multiscale_disc_apply)
-from .trainer import pool_init, pool_query
+from .trainer import pool_init, pool_query, _u8_wire, _denorm_batch
 
 
 def epdn_gan_loss(preds, target_real: bool, lsgan: bool = True):
@@ -131,6 +131,7 @@ class EpdnTrainer:
         lr = float(self.cfg.lr)
 
         def step(state, batch, vgg):
+            batch = _denorm_batch(batch, jnp.float32)
             rng, rp = jax.random.split(state["rng"])
             (gl, (losses, fake, enhance)), grads = jax.value_and_grad(
                 self._g_loss, has_aux=True)(state["g"], state["d"], vgg,
@@ -160,7 +161,9 @@ class EpdnTrainer:
 
     # -- wrapper surface ----------------------------------------------------
     def set_input(self, batch: Dict):
-        self._batch = {k: jnp.asarray(v) for k, v in batch.items()
+        # lossless uint8 wire for loader floats (see trainer.set_input)
+        self._batch = {k: jnp.asarray(_u8_wire(v))
+                       for k, v in batch.items()
                        if isinstance(v, np.ndarray)}
 
     def optimize_parameters(self, cfg=None):

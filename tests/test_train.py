@@ -196,3 +196,53 @@ def test_grad_accumulation(rng, tmp_path):
     w1 = np.asarray(t1.state["g"]["head"]["conv"]["w"])
     w2 = np.asarray(t2.state["g"]["head"]["conv"]["w"])
     assert np.abs(w1 - w2).max() < 5e-4
+
+
+@pytest.mark.slow
+def test_u8_wire_train_equivalence(rng, tmp_path, monkeypatch):
+    """Loader-style batches (u8/127.5-1 floats) ride the uint8 wire (4x less
+    host->device traffic over the relay); the on-device denormalize must
+    reproduce the float-wire step exactly."""
+    import cfen_vit_tpu.train.trainer as T
+    from cfen_vit_tpu.train.trainer import GanTrainer, _u8_wire
+
+    u8 = {k: rng.randint(0, 256, (2, 128, 128, 3 if k != "S" else 1))
+          .astype(np.uint8) for k in ("B", "A", "R", "S")}
+    b = {k: v.astype(np.float32) / 127.5 - 1.0 for k, v in u8.items()}
+    b["B_paths"] = ["x0.png", "x1.png"]
+
+    # the wire detects loader floats as losslessly u8-representable
+    assert _u8_wire(b["B"]).dtype == np.uint8
+    assert np.array_equal(_u8_wire(b["B"]), u8["B"])
+    # ... and leaves synthetic floats alone
+    arb = rng.rand(2, 8, 8, 3).astype(np.float32) * 2 - 1
+    assert _u8_wire(arb).dtype == np.float32
+
+    def run(name, force_float):
+        if force_float:
+            monkeypatch.setattr(T, "_u8_wire", lambda v: v)
+        else:
+            monkeypatch.setattr(T, "_u8_wire", _u8_wire)
+        cfg = _tiny_cfg(tmp_path, name=name)
+        tr = GanTrainer(cfg)
+        tr.setup(cfg)
+        tr.set_input({k: (v.copy() if hasattr(v, "copy") else v)
+                      for k, v in b.items()})
+        assert (tr._batch["B"].dtype == (np.float32 if force_float
+                                         else np.uint8))
+        tr.optimize_parameters(cfg)
+        return tr
+
+    t_f = run("wf", True)
+    t_u = run("wu", False)
+    lf, lu = t_f.get_current_losses(), t_u.get_current_losses()
+    for k in lf:
+        assert abs(lf[k] - lu[k]) <= 1e-6 * max(1.0, abs(lf[k])), (
+            k, lf[k], lu[k])
+    wf = np.asarray(t_f.state["g"]["head"]["conv"]["w"])
+    wu = np.asarray(t_u.state["g"]["head"]["conv"]["w"])
+    np.testing.assert_allclose(wf, wu, rtol=0, atol=1e-6)
+    # visuals give back the exact original bytes through tensor2im
+    from cfen_vit_tpu.utils.images import tensor2im
+    vis = t_u.get_current_visuals()
+    assert np.array_equal(tensor2im(np.asarray(vis["real_B"])[0]), u8["B"][0])
