@@ -20,10 +20,15 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--mha", action="store_true",
+                    help="A/B the FULL mha (proj+core+outproj): packed "
+                         "[N,S,E] vs head-major (transposes folded into "
+                         "the projection dots)")
     args = ap.parse_args()
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
-    from cfen_vit_tpu.models.vit import attention_core
+    from cfen_vit_tpu.models.vit import (attention_core, mha_apply,
+                                         mha_apply_headmajor)
     from cfen_vit_tpu.ops.pallas_attn import fused_block_attention
 
     B = args.batch
@@ -51,6 +56,15 @@ def main():
             jax.block_until_ready(out)
             return (time.perf_counter() - t0) / args.iters * 1e6
 
+        if args.mha:
+            p = {kk: jnp.asarray(rng.randn(e, e) * 0.05, dt)
+                 for kk in ("wq", "wk", "wv", "wo")}
+            t_pk = timeit(lambda q, k, v: mha_apply(p, q, k, v, h))
+            t_hm = timeit(
+                lambda q, k, v: mha_apply_headmajor(p, q, k, v, h))
+            print(f"{label:8s} [{n}x{s}x{e}] h={h:2d} packed={t_pk:9.1f}us"
+                  f" headmajor={t_hm:9.1f}us speedup={t_pk / t_hm:5.2f}x")
+            continue
         t_xla = timeit(lambda q, k, v: attention_core(q, k, v, h))
         line = f"{label:8s} [{n}x{s}x{e}] h={h:2d} xla={t_xla:9.1f}us"
         if on_tpu:

@@ -28,6 +28,9 @@ def main():
                     choices=["level", "level_dots", "vit", "branch"])
     ap.add_argument("--mrf_block", type=int, default=0,
                     help="ID-MRF streaming block size (0 = default 2048)")
+    ap.add_argument("--float_wire", action="store_true",
+                    help="un-quantized synthetic floats (disables the "
+                         "lossless uint8 input wire the loader path gets)")
     args = ap.parse_args()
     if args.mrf_block:
         import os
@@ -48,11 +51,18 @@ def main():
     tr.setup(cfg)
     rng = np.random.RandomState(0)
     s = args.size
+
+    def img(c):
+        # loader-realistic data is u8/127.5-1 (data/dataset.py), which
+        # rides the lossless uint8 wire; --float_wire keeps raw floats
+        x = rng.rand(args.batch, s, s, c).astype(np.float32) * 2 - 1
+        if args.float_wire:
+            return x
+        return np.rint((x + 1) * 127.5).astype(np.uint8) \
+            .astype(np.float32) / 127.5 - 1.0
+
     batch = {
-        "B": rng.rand(args.batch, s, s, 3).astype(np.float32) * 2 - 1,
-        "A": rng.rand(args.batch, s, s, 3).astype(np.float32) * 2 - 1,
-        "R": rng.rand(args.batch, s, s, 3).astype(np.float32) * 2 - 1,
-        "S": rng.rand(args.batch, s, s, 1).astype(np.float32) * 2 - 1,
+        "B": img(3), "A": img(3), "R": img(3), "S": img(1),
         "B_paths": [f"{i}.png" for i in range(args.batch)],
     }
     tr.set_input(batch)

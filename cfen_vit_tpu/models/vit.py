@@ -50,6 +50,15 @@ def mha_init(key, dim: int, num_heads: int):
     }
 
 
+def use_headmajor_attention() -> bool:
+    """CFEN_ATTN_HEADMAJOR: 1 forces the head-major MHA (head-split folded
+    into the projection dots), 0 forces the packed [N,S,E] form, auto
+    (default) = packed pending the on-device A/B (bench_attention --mha)."""
+    import os
+    flag = os.environ.get("CFEN_ATTN_HEADMAJOR", "auto")
+    return flag == "1"
+
+
 def mha_apply(p, q_in, k_in, v_in, num_heads):
     """[N,S,E] batch-first self-attention.
 
@@ -58,6 +67,8 @@ def mha_apply(p, q_in, k_in, v_in, num_heads):
     nh = num_heads
     n, s, e = q_in.shape
     dh = e // nh
+    if use_headmajor_attention():
+        return mha_apply_headmajor(p, q_in, k_in, v_in, num_heads)
     q = q_in @ p["wq"].astype(q_in.dtype)
     k = k_in @ p["wk"].astype(q_in.dtype)
     v = v_in @ p["wv"].astype(q_in.dtype)
@@ -68,6 +79,42 @@ def mha_apply(p, q_in, k_in, v_in, num_heads):
     else:
         out = attention_core(q, k, v, nh)
     return out @ p["wo"].astype(q_in.dtype)
+
+
+def mha_apply_headmajor(p, q_in, k_in, v_in, num_heads):
+    """MHA with the head split/merge folded into the projection dots.
+
+    The packed form reshapes [N,S,E]->[N,S,h,dh] and the score einsum then
+    needs [N,h,S,dh] — XLA materializes the [N,S,E]-sized transposes (3 in,
+    1 out per block; a top-HLO sink at the canonical geometry,
+    scripts/profile_hlo.py r2).  Projecting with the weight pre-reshaped to
+    [E,h,dh] emits q/k/v head-major straight from the dot, and the out-proj
+    contracts [N,h,S,dh] x [h,dh,E] directly, so no standalone transpose
+    remains.  Same contractions over the same axes => numerically identical
+    to the packed path (f32 bit-exact up to XLA dot tiling)."""
+    n, s, e = q_in.shape
+    nh = num_heads
+    dh = e // nh
+    dt = q_in.dtype
+    wq = p["wq"].astype(dt).reshape(e, nh, dh)
+    wk = p["wk"].astype(dt).reshape(e, nh, dh)
+    wv = p["wv"].astype(dt).reshape(e, nh, dh)
+    wo = p["wo"].astype(dt).reshape(nh, dh, e)
+    q = jnp.einsum("nse,ehd->nhsd", q_in, wq)
+    k = jnp.einsum("nse,ehd->nhsd", k_in, wk)
+    v = jnp.einsum("nse,ehd->nhsd", v_in, wv)
+    scale = 1.0 / math.sqrt(dh)
+    logits = jnp.einsum("nhqd,nhkd->nhqk", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    if v.dtype == jnp.bfloat16:   # bf16-probs trick, see attention_core
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        ex = jnp.exp(logits - m)
+        denom = jnp.sum(ex, axis=-1, keepdims=True)
+        probs = ex.astype(jnp.bfloat16) / denom.astype(jnp.bfloat16)
+    else:
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("nhqk,nhkd->nhqd", probs, v)
+    return jnp.einsum("nhqd,hde->nqe", out, wo)
 
 
 def attention_core(q, k, v, num_heads):

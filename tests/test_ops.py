@@ -208,3 +208,23 @@ def test_mha_matches_torch(rng):
                     jnp.asarray(x.transpose(1, 0, 2)), h)
     np.testing.assert_allclose(np.asarray(got).transpose(1, 0, 2),
                                ref.detach().numpy(), atol=1e-5)
+
+
+def test_mha_headmajor_equivalence(rng):
+    """Head-major MHA (head split folded into the projection dots) must
+    match the packed path: same contractions, different layouts."""
+    from cfen_vit_tpu.models.vit import mha_apply, mha_apply_headmajor
+    for (n, s, e, h) in [(3, 10, 16, 4), (2, 64, 96, 4), (1, 16, 48, 16)]:
+        x = jnp.asarray(rng.randn(n, s, e).astype(np.float32))
+        p = {k: jnp.asarray(rng.randn(e, e).astype(np.float32)) * 0.1
+             for k in ("wq", "wk", "wv", "wo")}
+        a = mha_apply(p, x, x, x, h)
+        b = mha_apply_headmajor(p, x, x, x, h)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-6)
+    # bf16 path agrees to bf16 tolerance
+    xb = x.astype(jnp.bfloat16)
+    pb = {k: v.astype(jnp.bfloat16) for k, v in p.items()}
+    a = np.asarray(mha_apply(pb, xb, xb, xb, h), np.float32)
+    b = np.asarray(mha_apply_headmajor(pb, xb, xb, xb, h), np.float32)
+    np.testing.assert_allclose(a, b, rtol=0.05, atol=0.05)
