@@ -52,8 +52,10 @@ def mha_init(key, dim: int, num_heads: int):
 
 def use_headmajor_attention() -> bool:
     """CFEN_ATTN_HEADMAJOR: 1 forces the head-major MHA (head-split folded
-    into the projection dots), 0 forces the packed [N,S,E] form, auto
-    (default) = packed pending the on-device A/B (bench_attention --mha)."""
+    into the projection dots), 0/auto (default) = packed — MEASURED
+    REJECTION on v5e (BASELINE.md r3): head-major is 0.51-0.83x at every
+    LViT level; the [E,h,dh] projection fragments into per-head dots that
+    cost more than the transposes they remove."""
     import os
     flag = os.environ.get("CFEN_ATTN_HEADMAJOR", "auto")
     return flag == "1"
@@ -91,7 +93,10 @@ def mha_apply_headmajor(p, q_in, k_in, v_in, num_heads):
     [E,h,dh] emits q/k/v head-major straight from the dot, and the out-proj
     contracts [N,h,S,dh] x [h,dh,E] directly, so no standalone transpose
     remains.  Same contractions over the same axes => numerically identical
-    to the packed path (f32 bit-exact up to XLA dot tiling)."""
+    to the packed path (f32 bit-exact up to XLA dot tiling).
+
+    MEASURED REJECTION (v5e, BASELINE.md r3 table): 0.51-0.83x vs packed on
+    the LViT levels — kept opt-in as the receipt, not dispatched."""
     n, s, e = q_in.shape
     nh = num_heads
     dh = e // nh
