@@ -722,16 +722,18 @@ def _stem_ds_phase(x, head_p, ds_conv_p):
     tensor.  Exactly equivalent to _stem_plain + ds conv — the full-res
     C=12 tensors never exist."""
     from ..ops import phase_space as PH
-    xp = PH.space_to_depth(x)                                 # [B,H/2,W/2,12]
     if PH.use_sparse_phase():
+        xp = PH.space_to_depth(x)                             # [B,H/2,W/2,12]
         conv = lambda pp, v, _pp=0: PH.conv_s1_sparse(v, pp["w"], pp["b"])
         h = conv(head_p["conv"], xp)
         r1 = N.relu(conv(head_p["res"]["c1"], h))
         r2 = conv(head_p["res"]["c2"], r1)
     else:
-        hp = {"w": PH.expand_s1(head_p["conv"]["w"]),
-              "b": PH.tile4(head_p["conv"]["b"])}
-        h = N.conv2d(hp, xp, padding=1)
+        # entry: one stride-2 conv on the RAW image emits the phase-space
+        # stem activations directly — the space_to_depth transpose (~0.7 ms
+        # of input copies at b8) never materializes
+        h = PH.conv_entry(x, PH.expand_entry(head_p["conv"]["w"]),
+                          head_p["conv"]["b"])
         c1 = {"w": PH.expand_s1(head_p["res"]["c1"]["w"]),
               "b": PH.tile4(head_p["res"]["c1"]["b"])}
         c2 = {"w": PH.expand_s1(head_p["res"]["c2"]["w"]),

@@ -151,6 +151,55 @@ def expand_s1(w):
     return out.reshape(K, K, 4 * ci, 4 * co)
 
 
+def _sel_entry(k: int):
+    """S[k+1,k+1,4(po),k,k] for the DIRECT stride-2 entry conv: full-res
+    stride-1 conv of odd k applied to the raw image, emitting the
+    phase-space output straight from one stride-2 conv (no space_to_depth
+    copy).  Tap ay of the k+1 window at output cell i reads raw row
+    2i + ay - r; phase po row 2i+poy needs raw row 2i+poy+dy-r, so
+    ay = poy + dy."""
+    import numpy as np
+    key = ("entry", k)
+    if key not in _SEL_CACHE:
+        s = np.zeros((k + 1, k + 1, 4, k, k), np.float32)
+        for poy in range(2):
+            for pox in range(2):
+                for dy in range(k):
+                    for dx in range(k):
+                        s[poy + dy, pox + dx, poy * 2 + pox, dy, dx] = 1.0
+        _SEL_CACHE[key] = s
+    return _SEL_CACHE[key]
+
+
+def expand_entry(w):
+    """Full-res stride-1 conv [k,k,ci,co] (odd k, zero-pad r) -> direct
+    stride-2 entry kernel [k+1,k+1,ci,4co].  Apply to the RAW full-res
+    image with conv_entry below; exactly equals
+    conv_ps(space_to_depth(x), expand_s1(w)) with the s2d transpose
+    never materialized (it was ~0.7 ms of input layout copies at b8,
+    scripts/profile_hlo.py r3)."""
+    k, _, ci, co = w.shape
+    s = jnp.asarray(_sel_entry(k), w.dtype)
+    out = jnp.einsum("ABpyx,yxio->ABipo", s, w)
+    return out.reshape(k + 1, k + 1, ci, 4 * co)
+
+
+def conv_entry(x, w_entry, bias=None):
+    """Stride-2 application of an expand_entry kernel to the raw image:
+    [B,2H,2W,C] -> [B,H,W,4co] phase-space output (zero pad r = (k-2)//1
+    ... pad is r on the low side and r+1 unused on the high side is not
+    needed: window k+1 at stride 2 with pad r each side covers rows
+    -r .. 2H-1+r exactly)."""
+    kk = w_entry.shape[0]           # k+1, even
+    r = (kk - 2) // 2 + (kk - 2) % 2  # r = (k-1)/2 with k = kk-1
+    y = lax.conv_general_dilated(
+        x, w_entry.astype(x.dtype), (2, 2), ((r, r), (r, r)),
+        dimension_numbers=_DN)
+    if bias is not None:
+        y = y + tile4(bias).astype(y.dtype)
+    return y
+
+
 def _phase_range_1d(r: int, po: int):
     """Per-output-phase cell window [tmin, tmax] for a radius-r conv."""
     return (po - r) // 2, (po + r) // 2

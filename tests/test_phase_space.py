@@ -92,6 +92,23 @@ def test_sparse_phase_convT_matches_full_res(rng):
                                np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.parametrize("k", [3, 5])
+def test_phase_entry_conv_matches_s2d_form(rng, k):
+    """Direct stride-2 entry conv on the raw image == s2d + dense phase
+    conv (the s2d transpose folded into the conv)."""
+    ci, co = 3, 6
+    x = jnp.asarray(rng.randn(2, 16, 20, ci).astype(np.float32))
+    p = {"w": jnp.asarray(rng.randn(k, k, ci, co).astype(np.float32) * 0.2),
+         "b": jnp.asarray(rng.randn(co).astype(np.float32))}
+    wp = PH.expand_s1(p["w"])
+    pad = (wp.shape[0] - 1) // 2
+    ref = N.conv2d({"w": wp, "b": PH.tile4(p["b"])},
+                   PH.space_to_depth(x), padding=pad)
+    got = PH.conv_entry(x, PH.expand_entry(p["w"]), p["b"])
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
 def test_phase_ds_conv_matches_full_res(rng):
     ci, co = 3, 7
     x = jnp.asarray(rng.randn(2, 16, 16, ci).astype(np.float32))
