@@ -44,7 +44,8 @@ from ..ops import nn as N
 from ..ops.patch import unfold_tokens, fold_tokens
 from ..ops.tiles import split_tiles, join_tiles
 from .vit import (ViTSpec, vit_init, vit_apply, vit_tokens_apply,
-                  vit_shrink_apply)
+                  vit_shrink_apply, vit_apply_ps, permute_vit_params,
+                  lvit_s2d_perm)
 
 
 # --------------------------------------------------------------------------
@@ -403,10 +404,19 @@ def cfs_init(key, c: int):
             "fc_max_cf1": fc(4), "fc_max_cf2": fc(6)}
 
 
-def cfs_apply(p, d, r, s):
+def cfs_apply(p, d, r, s, ps: bool = False):
     comb = d + r + s
-    gavg = jnp.mean(comb, axis=(1, 2), keepdims=True)
-    gmax = jnp.max(comb, axis=(1, 2), keepdims=True)
+    if ps:
+        # s2d store: global mean over (H, W, phases); global max likewise
+        b = comb.shape[0]
+        c = comb.shape[-1] // 4
+        gavg = jnp.mean(comb, axis=(1, 2)).reshape(b, 4, c).mean(axis=1)
+        gmax = jnp.max(comb, axis=(1, 2)).reshape(b, 4, c).max(axis=1)
+        gavg = gavg[:, None, None, :]
+        gmax = gmax[:, None, None, :]
+    else:
+        gavg = jnp.mean(comb, axis=(1, 2), keepdims=True)
+        gmax = jnp.max(comb, axis=(1, 2), keepdims=True)
 
     def se(fc, g):
         h = N.relu(N.conv2d(fc["c1"], g))
@@ -414,6 +424,9 @@ def cfs_apply(p, d, r, s):
 
     sig1 = jax.nn.sigmoid(se(p["fc_avg_cf1"], gavg) + se(p["fc_max_cf1"], gmax))
     sig2 = jax.nn.sigmoid(se(p["fc_avg_cf2"], gavg) + se(p["fc_max_cf2"], gmax))
+    if ps:
+        sig1 = jnp.tile(sig1, (1, 1, 1, 4))
+        sig2 = jnp.tile(sig2, (1, 1, 1, 4))
     return d + r * sig1 + s * sig2
 
 
@@ -421,7 +434,7 @@ def cfs_apply(p, d, r, s):
 # apply
 # --------------------------------------------------------------------------
 
-def _local_vit(p, spec: GenSpec, lvl: int, x, an, path):
+def _local_vit(p, spec: GenSpec, lvl: int, x, an, path, ps: bool = False):
     """Batched tile attention — replaces the reference Crop2x2/Join2x2 tree.
 
     The v5 shrink/extend 1x1 convs are pointwise and applied on the full
@@ -430,9 +443,24 @@ def _local_vit(p, spec: GenSpec, lvl: int, x, an, path):
     two-step split_tiles+unfold pair: a single fused 8-D transpose was
     measured SLOWER on TPU (1.19 vs 0.78 ms per direction at the canonical
     geometry — the copy engine decomposes 8-D permutes worse than two 6-D
-    ones; scripts/profile_hlo.py, r2)."""
+    ones; scripts/profile_hlo.py, r2).
+
+    ps=True: x is the s2d store of the level map (ops/phase_space.py trunk
+    section).  With patch_dim == 2 the patchify IS the s2d transform, so
+    tokenization reduces to split_tiles at 4C channels + a free reshape;
+    the (C,py,px)->(q,C) token-coordinate change is absorbed into the
+    block's weights (permute_vit_params), making the pipeline exactly
+    equivalent."""
     vs = spec.lvit_spec(lvl)
     b, h, w, _ = x.shape
+    if ps:
+        tc = spec.patch_size // 2            # tile side in s2d cells
+        tiles = split_tiles(x, tc)
+        t = tiles.reshape(tiles.shape[0], tc * tc, tiles.shape[-1])
+        pp = permute_vit_params(p, lvit_s2d_perm(vs.num_channels))
+        t = vit_tokens_apply(pp, vs, t, allow_pallas=False)
+        t = t.reshape(t.shape[0], tc, tc, t.shape[-1])
+        return join_tiles(t, b, h, w)
     if vs.shrink > 1:
         x = vit_shrink_apply(p, "conv_shrink", x, an, path)
     tiles = split_tiles(x, spec.patch_size)
@@ -445,10 +473,18 @@ def _local_vit(p, spec: GenSpec, lvl: int, x, an, path):
     return x
 
 
-def _fuse(p, spec: GenSpec, key: str, lv, gv, res, an):
+def _fuse(p, spec: GenSpec, key: str, lv, gv, res, an, ps: bool = False):
     if spec.use_local and spec.use_global:
         if spec.fusion == "cat":
             cat = jnp.concatenate([lv, gv], axis=-1)
+            if ps:
+                from ..ops import phase_space as PH
+                c = lv.shape[-1] // 4
+                w_ps = PH.expand_1x1_ps(p[key]["conv"]["w"], (c, c))
+                y = PH.conv_1x1_ps(cat, w_ps, p[key]["conv"].get("b"))
+                if spec.lgcat_norm == "actnorm":
+                    return N.relu(PH.actnorm_ps(p[key]["an"], y)) + res
+                return N.relu(PH.instance_norm_ps(y)) + res
             if spec.lgcat_norm == "actnorm":
                 return _apply_can(p[key], cat, an, (key,)) + res
             # iidr/iids use InstanceNorm in their lgcat stacks
@@ -472,38 +508,50 @@ def _resblock(blocks, x, an, path):
 
 
 def _level(p, spec: GenSpec, x, lvl: int, prefix: str, an,
-           vit_ckpt: bool = False):
+           vit_ckpt: bool = False, ps: bool = False):
     """vit_ckpt: per-ViT-block rematerialization — only the token pipelines
     (the attention/MLP stacks) recompute in the backward; convs, fusion and
-    residuals keep their activations.  Finer than per-level remat."""
+    residuals keep their activations.  Finer than per-level remat.
+
+    ps=True: x (and the level output) is the s2d store of the level map —
+    the phase-trunk path (ops/phase_space.py trunk section)."""
     if spec.cnn:
         key = f"cnn_{prefix}"
         return _resblock(p[key], x, an, (key,)) + x
     if vit_ckpt:
         lvit_fn = jax.checkpoint(
             lambda q, v: _local_vit(q, spec, lvl, v, ANCtx(False),
-                                    (f"lvit_{prefix}",)))
+                                    (f"lvit_{prefix}",), ps=ps))
         lv = lvit_fn(p[f"lvit_{prefix}"], x) if spec.use_local else None
     else:
         lv = (_local_vit(p[f"lvit_{prefix}"], spec, lvl, x, an,
-                         (f"lvit_{prefix}",)) if spec.use_local else None)
+                         (f"lvit_{prefix}",), ps=ps)
+              if spec.use_local else None)
     if lv is not None and spec.s_dec1_ru_zero and prefix == "d01s":
         # dec_ipt.py:841 quirk: the S decoder level-1 ru quadrant of the
-        # local map stays the Crop2x2 zeros canvas (see GenSpec)
+        # local map stays the Crop2x2 zeros canvas (see GenSpec).  The
+        # quadrant boundary is at h/2 full-res = h_s2d/2 cells, so the
+        # mask is identical in the s2d store.
         h2, w2 = lv.shape[1] // 2, lv.shape[2] // 2
         lv = lv.at[:, :h2, w2:, :].set(0.0)
-    if vit_ckpt:
+    gspec = spec.gvit_spec(lvl, prefix.startswith("e"))
+    if ps:
+        gfn = vit_apply_ps
+        if vit_ckpt:
+            gfn = jax.checkpoint(lambda q, s_, v: vit_apply_ps(q, s_, v),
+                                 static_argnums=(1,))
+        gv = (gfn(p[f"gvit_{prefix}"], gspec, x)
+              if spec.use_global else None)
+    elif vit_ckpt:
         gvit_fn = jax.checkpoint(
-            lambda q, v: vit_apply(q, spec.gvit_spec(
-                lvl, prefix.startswith("e")), v, an_ctx=None,
-                path=(f"gvit_{prefix}",)))
+            lambda q, v: vit_apply(q, gspec, v, an_ctx=None,
+                                   path=(f"gvit_{prefix}",)))
         gv = gvit_fn(p[f"gvit_{prefix}"], x) if spec.use_global else None
     else:
-        gv = (vit_apply(p[f"gvit_{prefix}"],
-                        spec.gvit_spec(lvl, prefix.startswith("e")), x,
+        gv = (vit_apply(p[f"gvit_{prefix}"], gspec, x,
                         an_ctx=an, path=(f"gvit_{prefix}",))
               if spec.use_global else None)
-    return _fuse(p, spec, f"lgcat_{prefix}", lv, gv, x, an)
+    return _fuse(p, spec, f"lgcat_{prefix}", lv, gv, x, an, ps=ps)
 
 
 def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None,
@@ -530,6 +578,13 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None,
         an = ANCtx(init=False)
     mode = remat if isinstance(remat, str) else ("level" if remat else
                                                  "none")
+    from ..ops import pallas_stem as PS
+    from ..ops import phase_space as PH
+    phase = (not an.init and spec.half_res_trunk
+             and PH.use_phase_space(x.shape[0]))
+    pst = (phase and phase_trunk_supported(spec)
+           and PH.use_phase_trunk(x.shape[0]))
+
     level_fn = _level
     if mode in ("level", "level_dots", "branch") and not an.init:
         policy = (jax.checkpoint_policies.dots_saveable
@@ -537,29 +592,30 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None,
 
         def level_fn(pp, sspec, xx, lvl, prefix, _an):  # noqa: ANN001
             pure = jax.checkpoint(
-                lambda q, v: _level(q, sspec, v, lvl, prefix, ANCtx(False)),
+                lambda q, v: _level(q, sspec, v, lvl, prefix, ANCtx(False),
+                                    ps=pst),
                 policy=policy)
             return pure(pp, xx)
     elif mode == "vit" and not an.init:
         def level_fn(pp, sspec, xx, lvl, prefix, _an):  # noqa: ANN001
             return _level(pp, sspec, xx, lvl, prefix, ANCtx(False),
-                          vit_ckpt=True)
+                          vit_ckpt=True, ps=pst)
+    elif pst:
+        def level_fn(pp, sspec, xx, lvl, prefix, _an):  # noqa: ANN001
+            return _level(pp, sspec, xx, lvl, prefix, _an, ps=True)
 
     # stem.  Preferred TPU path: the whole full-res band (conv5+ResBlock+
     # stride-2 ds conv) in phase space — the pathological C=12 full-res
     # tensors never exist (ops/phase_space.py).  Channel-first Pallas stem
     # kernel and the plain path remain for fallback/parity/init.
-    from ..ops import pallas_stem as PS
-    from ..ops import phase_space as PH
-    phase = (not an.init and spec.half_res_trunk
-             and PH.use_phase_space(x.shape[0]))
     if phase:
-        stem_fn = _stem_ds_phase
+        stem_fn = _stem_ds_phase_trunk if pst else _stem_ds_phase
         if mode != "none":
             # under remat, the phase band checkpoints like everything else
             # (unchecked it spills at b>=8 training: 73 s/step vs 1.8)
-            stem_fn = jax.checkpoint(_stem_ds_phase)
-        xf = N.relu(N.instance_norm(
+            stem_fn = jax.checkpoint(stem_fn)
+        norm_fn = PH.instance_norm_ps if pst else N.instance_norm
+        xf = N.relu(norm_fn(
             stem_fn(x, p["head"], p["ds_e01"]["conv"])))
     else:
         if (not an.init and PS.use_pallas_stem(x.shape[0])
@@ -581,11 +637,19 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None,
         for lvl in (1, 2, 3):
             if lvl > 1:
                 key = f"ds_e0{lvl}{be}"
-                cur = N.conv2d(p[key]["conv"], cur, stride=2, padding=1)
-                if spec.ds_norm == "actnorm":
-                    cur = an(p[key]["an"], cur, (key, "an"))
+                if pst:
+                    cur = PH.conv_ds_trunk(
+                        cur, PH.expand_ds_trunk(p[key]["conv"]["w"]),
+                        p[key]["conv"].get("b"))
+                    cur = (PH.actnorm_ps(p[key]["an"], cur)
+                           if spec.ds_norm == "actnorm"
+                           else PH.instance_norm_ps(cur))
                 else:
-                    cur = N.instance_norm(cur)
+                    cur = N.conv2d(p[key]["conv"], cur, stride=2, padding=1)
+                    if spec.ds_norm == "actnorm":
+                        cur = an(p[key]["an"], cur, (key, "an"))
+                    else:
+                        cur = N.instance_norm(cur)
                 cur = N.relu(cur)
             x_e[lvl] = level_fn(p, spec, cur, lvl, f"e0{lvl}{be}", an)
             cur = x_e[lvl]
@@ -619,33 +683,64 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None,
                 if (b == "d" and lvl == 2 and spec.d02_us_from_s
                         and s2_out is not None):
                     us_src = s2_out
-                u = N.conv_transpose2d(pp[key]["conv"], us_src)
-                if lvl == 3 or "an" not in pp[key]:
-                    u = N.relu(N.instance_norm(u))
+                if pst:
+                    u = PH.convT_trunk(
+                        us_src, PH.expand_convT_trunk(pp[key]["conv"]["w"]),
+                        pp[key]["conv"].get("b"))
+                    if lvl == 3 or "an" not in pp[key]:
+                        u = N.relu(PH.instance_norm_ps(u))
+                    else:
+                        u = N.relu(PH.actnorm_ps(pp[key]["an"], u))
                 else:
-                    u = N.relu(anx(pp[key]["an"], u, (key, "an")))
+                    u = N.conv_transpose2d(pp[key]["conv"], us_src)
+                    if lvl == 3 or "an" not in pp[key]:
+                        u = N.relu(N.instance_norm(u))
+                    else:
+                        u = N.relu(anx(pp[key]["an"], u, (key, "an")))
                 us_b[lvl] = u
+
+                def sk_ps(skp, parts, norm):
+                    cat = jnp.concatenate(parts, axis=-1)
+                    w_ps = PH.expand_1x1_ps(
+                        skp["conv"]["w"],
+                        tuple(q.shape[-1] // 4 for q in parts))
+                    y = PH.conv_1x1_ps(cat, w_ps, skp["conv"].get("b"))
+                    if norm == "actnorm":
+                        return N.relu(PH.actnorm_ps(skp["an"], y))
+                    return N.relu(PH.instance_norm_ps(y))
+
                 if b == "d" and spec.d_skip == "cfs":
                     cur = cfs_apply(pp[f"cfs_d0{lvl}d"], u,
                                     partner_us[("r", lvl)],
-                                    partner_us[("s", lvl)])
+                                    partner_us[("s", lvl)], ps=pst)
                 elif b == "d" and spec.d_skip == "cat3":
-                    cat = jnp.concatenate([u, partner_us[("r", lvl)],
-                                           partner_us[("s", lvl)]], axis=-1)
-                    cur = _apply_can(pp[f"sk_d0{lvl}{b}"], cat, anx,
-                                     (f"sk_d0{lvl}{b}",))
+                    parts = [u, partner_us[("r", lvl)],
+                             partner_us[("s", lvl)]]
+                    if pst:
+                        cur = sk_ps(pp[f"sk_d0{lvl}{b}"], parts, "actnorm")
+                    else:
+                        cur = _apply_can(pp[f"sk_d0{lvl}{b}"],
+                                         jnp.concatenate(parts, axis=-1),
+                                         anx, (f"sk_d0{lvl}{b}",))
                 elif spec.d_skip == "res":
                     cur = u + encs[lvl - 1]
                 elif b == "d" and spec.d_skip == "cat_partner":
                     pb = "r" if "r" in spec.branches else "s"
-                    cat = jnp.concatenate([u, partner_us[(pb, lvl)]],
-                                          axis=-1)
-                    cur = N.relu(N.instance_norm(
-                        N.conv2d(pp[f"sk_d0{lvl}{b}"]["conv"], cat)))
+                    parts = [u, partner_us[(pb, lvl)]]
+                    if pst:
+                        cur = sk_ps(pp[f"sk_d0{lvl}{b}"], parts, "instance")
+                    else:
+                        cur = N.relu(N.instance_norm(
+                            N.conv2d(pp[f"sk_d0{lvl}{b}"]["conv"],
+                                     jnp.concatenate(parts, axis=-1))))
                 else:
-                    cat = jnp.concatenate([u, encs[lvl - 1]], axis=-1)
-                    cur = _apply_can(pp[f"sk_d0{lvl}{b}"], cat, anx,
-                                     (f"sk_d0{lvl}{b}",))
+                    parts = [u, encs[lvl - 1]]
+                    if pst:
+                        cur = sk_ps(pp[f"sk_d0{lvl}{b}"], parts, "actnorm")
+                    else:
+                        cur = _apply_can(pp[f"sk_d0{lvl}{b}"],
+                                         jnp.concatenate(parts, axis=-1),
+                                         anx, (f"sk_d0{lvl}{b}",))
         return cur, us_b, l2_out
 
     for b in order:
@@ -661,7 +756,8 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None,
         if mode == "branch" and not an.init:
             run = jax.checkpoint(
                 lambda pp, c, e, pu, s2, _b=b: decode_branch(
-                    pp, _b, c, e, pu, s2, _level, ANCtx(False)))
+                    pp, _b, c, e, pu, s2,
+                    lambda *a: _level(*a, ps=pst), ANCtx(False)))
             cur, us_b, l2_out = run(p, cur, encs, partner_us, s2_out)
         else:
             cur, us_b, l2_out = decode_branch(p, b, cur, encs, partner_us,
@@ -684,8 +780,8 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None,
             tail_fn = _tail_phase
             if mode != "none":
                 tail_fn = jax.checkpoint(_tail_phase,
-                                         static_argnums=(3, 4))
-            out[b] = tail_fn(t, p[f"us_d01{b}"], tp, spec, b)
+                                         static_argnums=(3, 4, 5))
+            out[b] = tail_fn(t, p[f"us_d01{b}"], tp, spec, b, pst)
             continue
         if spec.half_res_trunk:
             key = f"us_d01{b}"
@@ -745,15 +841,50 @@ def _stem_ds_phase(x, head_p, ds_conv_p):
     return ds + ds_conv_p["b"].astype(ds.dtype)
 
 
-def _tail_phase(t, us_p, tail_p, spec: GenSpec, b: str):
+def _stem_ds_phase_trunk(x, head_p, ds_conv_p):
+    """_stem_ds_phase emitting the s2d store of the half-res trunk (the
+    phase-trunk entry): the ds conv becomes an s2d-to-s2d stride-2 conv,
+    so the plain trunk tensor never materializes either."""
+    from ..ops import phase_space as PH
+    h = PH.conv_entry(x, PH.expand_entry(head_p["conv"]["w"]),
+                      head_p["conv"]["b"])
+    c1 = {"w": PH.expand_s1(head_p["res"]["c1"]["w"]),
+          "b": PH.tile4(head_p["res"]["c1"]["b"])}
+    c2 = {"w": PH.expand_s1(head_p["res"]["c2"]["w"]),
+          "b": PH.tile4(head_p["res"]["c2"]["b"])}
+    r2 = N.conv2d(c2, N.relu(N.conv2d(c1, h, padding=1)), padding=1)
+    return PH.conv_ds_trunk(h + r2, PH.expand_ds_trunk(ds_conv_p["w"]),
+                            ds_conv_p.get("b"))
+
+
+def phase_trunk_supported(spec: GenSpec) -> bool:
+    """Phase-trunk (s2d levels) support gate — v1 covers the canonical
+    family: half-res trunk, no v5 channel shrink, patch_dim 2 (so LViT
+    patchify == s2d), pooled GViT.  Unsupported specs silently run the
+    band-only phase path."""
+    return (spec.half_res_trunk and not spec.cnn and spec.shrink == 1
+            and spec.patch_dim == 2 and spec.patch_size % 2 == 0
+            and (not spec.use_global or spec.global_pools >= 1)
+            and spec.level_size(3) % 2 == 0
+            and (spec.level_size(3) // 2) % (spec.patch_size // 2) == 0)
+
+
+def _tail_phase(t, us_p, tail_p, spec: GenSpec, b: str,
+                t_is_ps: bool = False):
     """Full tail band in phase space: convT(4,s2,p1) + ActNorm + ReLU +
     conv3x3 (+norm) + ReLU + ReflectionPad(3) + conv7x7 + tanh, all on
     half-res [B,H,W,4C] tensors; one depth_to_space at the very end.
-    Numerically equivalent to the plain tail (fp reassociation only)."""
+    Numerically equivalent to the plain tail (fp reassociation only).
+
+    t_is_ps: t is the s2d store of the trunk output (phase-trunk path) —
+    the convT consumes it via the s2d-to-s2d trunk form."""
     from ..ops import phase_space as PH
     dt = t.dtype
-    sparse = PH.use_sparse_phase()
-    if sparse:
+    sparse = PH.use_sparse_phase() and not t_is_ps
+    if t_is_ps:
+        y = PH.convT_trunk(t, PH.expand_convT_trunk(us_p["conv"]["w"]),
+                           us_p["conv"]["b"])
+    elif sparse:
         y = PH.convT_sparse(t, us_p["conv"]["w"], us_p["conv"]["b"])
     else:
         y = PH.conv_ps(t, PH.expand_convT(us_p["conv"]["w"]), 1)

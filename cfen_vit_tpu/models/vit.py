@@ -109,8 +109,9 @@ def mha_apply_headmajor(p, q_in, k_in, v_in, num_heads):
     k = jnp.einsum("nse,ehd->nhsd", k_in, wk)
     v = jnp.einsum("nse,ehd->nhsd", v_in, wv)
     scale = 1.0 / math.sqrt(dh)
+    pt = jnp.float64 if dt == jnp.float64 else jnp.float32
     logits = jnp.einsum("nhqd,nhkd->nhqk", q * scale, k,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=pt)
     if v.dtype == jnp.bfloat16:   # bf16-probs trick, see attention_core
         m = jnp.max(logits, axis=-1, keepdims=True)
         ex = jnp.exp(logits - m)
@@ -138,8 +139,9 @@ def attention_core(q, k, v, num_heads):
     k = k.reshape(n, s, num_heads, dh)
     v = v.reshape(n, s, num_heads, dh)
     scale = 1.0 / math.sqrt(dh)
+    pt = jnp.float64 if q.dtype == jnp.float64 else jnp.float32
     logits = jnp.einsum("nqhd,nkhd->nhqk", q * scale, k,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=pt)
     if v.dtype == jnp.bfloat16:
         m = jnp.max(logits, axis=-1, keepdims=True)
         ex = jnp.exp(logits - m)
@@ -310,3 +312,91 @@ def vit_apply(p, spec: ViTSpec, x, an_ctx=None, path=()):
         for _ in range(spec.global_pools):
             x = upsample_bilinear2(x)
     return x
+
+
+# --------------------------------------------------------------------------
+# phase-space (s2d) trunk support — see ops/phase_space.py trunk section
+# --------------------------------------------------------------------------
+
+def lvit_s2d_perm(c: int):
+    """Token-dim permutation for LViT patch_dim=2 tokens read from the s2d
+    store.  unfold_tokens flattens (C, py, px) C-major (index c*4 + q);
+    the s2d channel packing is phase-major (index q*C + c).  perm[i] =
+    unfold index feeding s2d slot i, i.e. perm[q*C+c] = c*4 + q."""
+    import numpy as np
+    idx = np.empty(4 * c, np.int32)
+    for q in range(4):
+        for i in range(c):
+            idx[q * c + i] = i * 4 + q
+    return idx
+
+
+def permute_vit_params(p, perm):
+    """Re-express a ViT token pipeline for permuted token coordinates:
+    with tokens t' = t[..., perm] the pipeline below is EXACTLY equivalent
+    to the original on t (same contractions, fp-identical up to XLA dot
+    tiling), because every E-dim weight absorbs the permutation:
+
+      linear_encoding  W' = W[perm][:, perm] (the residual `+ t` forces
+                       both sides; E == flatten_dim by construction)
+      pos, layer norms, biases: index by perm
+      attention        wq/wk/wv rows permuted (q/k/v stay in ORIGINAL
+                       coordinates, so head split is untouched), wo
+                       columns permuted back to token coordinates
+      mlp l1/linear1   rows permuted; l2/linear2 columns permuted
+
+    Cost: a handful of [E,E] weight gathers per block per step — noise
+    next to the token matmuls they enable (the s2d store makes LViT
+    tokenization a free reshape)."""
+    perm = jnp.asarray(perm)
+    out = dict(p)
+    if "linear_encoding" in p:
+        le = p["linear_encoding"]
+        out["linear_encoding"] = {"w": le["w"][perm][:, perm],
+                                  "b": le["b"][perm]}
+    if "mlp_head" in p:
+        mh = p["mlp_head"]
+        out["mlp_head"] = {
+            "l1": {"w": mh["l1"]["w"][perm], "b": mh["l1"]["b"]},
+            "l2": {"w": mh["l2"]["w"][:, perm], "b": mh["l2"]["b"][perm]},
+        }
+    if "pos" in p:
+        out["pos"] = p["pos"][:, perm]
+    layers = []
+    for lp in p["layers"]:
+        lq = dict(lp)
+        at = lp["attn"]
+        lq["attn"] = {"wq": at["wq"][perm], "wk": at["wk"][perm],
+                      "wv": at["wv"][perm], "wo": at["wo"][:, perm]}
+        lq["linear1"] = {"w": lp["linear1"]["w"][perm],
+                         "b": lp["linear1"]["b"]}
+        lq["linear2"] = {"w": lp["linear2"]["w"][:, perm],
+                         "b": lp["linear2"]["b"][perm]}
+        for nk in ("norm1", "norm2"):
+            if nk in lp:
+                lq[nk] = {"g": lp[nk]["g"][perm], "b": lp[nk]["b"][perm]}
+        layers.append(lq)
+    out["layers"] = layers
+    return out
+
+
+def vit_apply_ps(p, spec: ViTSpec, x_ps):
+    """GViT applied to the s2d store of its input map (global_pools >= 1).
+
+    The first avg_pool2 IS the phase mean of the s2d store
+    (ops/phase_space.py pool_phase_mean); the remaining pools, the token
+    pipeline, and all but the last upsample run on the small plain maps
+    unchanged; the final upsample_bilinear2 emits the s2d store directly
+    (up2_ps).  Token values are bit-identical to the plain path."""
+    from ..ops import phase_space as PH
+    assert spec.global_pools >= 1 and spec.shrink == 1
+    x = PH.pool_phase_mean(x_ps)
+    for _ in range(spec.global_pools - 1):
+        x = avg_pool2(x)
+    n, h, w, c = x.shape
+    t = unfold_tokens(x, spec.patch_dim)
+    t = vit_tokens_apply(p, spec, t)
+    x = fold_tokens(t, spec.patch_dim, h, w)
+    for _ in range(spec.global_pools - 1):
+        x = upsample_bilinear2(x)
+    return PH.up2_ps(x)

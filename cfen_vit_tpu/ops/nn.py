@@ -140,7 +140,10 @@ def instance_norm(x, eps: float = 1e-5):
     E[x^2]-mu^2 halves the passes.  f32 stats also make the bf16 path
     MORE accurate than per-dtype stats were."""
     b, h, w, c = x.shape
-    x32 = x.astype(jnp.float32)
+    # f32 stats for f32/bf16; f64 inputs keep f64 so the phase-space paths
+    # (different sum orders) stay exactness-testable (tests/test_phase_space)
+    ct = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
+    x32 = x.astype(ct)
     r = x32.reshape(b, h, w * c)
     s1 = jnp.sum(r, axis=1).reshape(b, w, c).sum(axis=1)
     s2 = jnp.sum(jnp.square(r), axis=1).reshape(b, w, c).sum(axis=1)

@@ -343,7 +343,8 @@ def instance_norm_ps(x, eps: float = 1e-5):
     ops/nn.py instance_norm."""
     b, h, w, c4 = x.shape
     c = c4 // 4
-    x32 = x.astype(jnp.float32)
+    ct = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
+    x32 = x.astype(ct)
     r = x32.reshape(b, h, w * c4)
     s1 = jnp.sum(r, axis=1).reshape(b, w * 4, c).sum(axis=1)
     s2 = jnp.sum(jnp.square(r), axis=1).reshape(b, w * 4, c).sum(axis=1)
@@ -353,6 +354,198 @@ def instance_norm_ps(x, eps: float = 1e-5):
     mu4 = jnp.tile(mu, 4)[:, None, None, :]
     iv4 = jnp.tile(lax.rsqrt(var + eps), 4)[:, None, None, :]
     return ((x32 - mu4) * iv4).astype(x.dtype)
+
+
+# --------------------------------------------------------------------------
+# trunk phase space: s2d-to-s2d forms of the inter-level ops, so the WHOLE
+# generator trunk (levels at C = nf/2nf/4nf) runs on 4x-channel half-res
+# tensors.  At the canonical geometry the trunk's C=24/48/96 channels-last
+# tensors use 24-96 of 128 lanes and the tile/tokenize transposes ran at
+# ~60 GB/s effective (scripts/profile_hlo.py r3 b8: copy/transpose = 30.7%
+# of device time); the s2d forms are 96/192/384-channel — lane-aligned —
+# and LViT's p=2 patchify becomes a FREE reshape (it *is* the s2d
+# transform, modulo a weight permutation; models/vit.py
+# permute_vit_params).
+# --------------------------------------------------------------------------
+
+
+def _sel_ds_trunk():
+    """S[3,3,4(pi),4(po),3,3] for a k3 s2 p1 full->half conv with BOTH
+    sides stored as s2d: output s2d cell P phase po reads input s2d cells
+    2P+t, t in {-1,0,1}; full-res tap dy = 2t + pi - 2po, |dy| <= 1.
+    Apply with stride 2, pad ((1,0),(1,0))."""
+    import numpy as np
+    key = ("ds_trunk",)
+    if key not in _SEL_CACHE:
+        s = np.zeros((3, 3, 4, 4, 3, 3), np.float32)
+        for ty in range(-1, 2):
+            for tx in range(-1, 2):
+                for piy in range(2):
+                    for pix in range(2):
+                        for poy in range(2):
+                            for pox in range(2):
+                                dy = 2 * ty + piy - 2 * poy
+                                dx = 2 * tx + pix - 2 * pox
+                                if abs(dy) > 1 or abs(dx) > 1:
+                                    continue
+                                s[ty + 1, tx + 1, piy * 2 + pix,
+                                  poy * 2 + pox, dy + 1, dx + 1] = 1.0
+        _SEL_CACHE[key] = s
+    return _SEL_CACHE[key]
+
+
+def expand_ds_trunk(w):
+    """k3 s2 p1 downsample conv [3,3,ci,co] -> s2d-to-s2d kernel
+    [3,3,4ci,4co].  Apply with conv_ds_trunk (stride 2, pad (1,0))."""
+    _, _, ci, co = w.shape
+    s = jnp.asarray(_sel_ds_trunk(), w.dtype)
+    out = jnp.einsum("ABqpyx,yxio->ABqipo", s, w)
+    return out.reshape(3, 3, 4 * ci, 4 * co)
+
+
+def conv_ds_trunk(x, w_ps, bias=None):
+    """Apply an expand_ds_trunk kernel: s2d(L) [B,H,W,4ci] ->
+    s2d(L+1) [B,H/2,W/2,4co]."""
+    y = lax.conv_general_dilated(
+        x, w_ps.astype(x.dtype), (2, 2), ((1, 0), (1, 0)),
+        dimension_numbers=_DN)
+    if bias is not None:
+        y = y + tile4(bias).astype(y.dtype)
+    return y
+
+
+def expand_convT_trunk(w):
+    """ConvTranspose2d(k4, s2, p1) pre-flipped [4,4,ci,co], upsampling
+    level L+1 (grid G) to level L (grid 2G), with BOTH sides stored as
+    s2d: composition of the two existing transforms.  expand_convT turns
+    the convT into a stride-1 k3 phase conv on grid G emitting s2d(L)@G
+    ([3,3,ci,4co]); re-phasing THAT conv onto the s2d(L+1) store (grid
+    G/2) is exactly expand_s1 again -> [3,3,4ci,16co].  Apply with
+    convT_trunk below (pad 1, then one depth_to_space)."""
+    return expand_s1(expand_convT(w))
+
+
+def convT_trunk(x, w_ps, bias=None):
+    """Apply an expand_convT_trunk kernel: s2d(L+1) [B,G/2,G/2,4ci] ->
+    s2d(L) [B,G,G,4co] (one depth_to_space on the 16co intermediate)."""
+    y = lax.conv_general_dilated(
+        x, w_ps.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=_DN)
+    y = depth_to_space(y)
+    if bias is not None:
+        y = y + tile4(bias).astype(y.dtype)
+    return y
+
+
+def expand_1x1_ps(w, in_sizes=None):
+    """1x1 conv [1,1,cin,co] (or [cin,co]) -> dense s2d kernel
+    [1,1,4cin,4co] (block-diagonal over phases; the parity-mismatch zeros
+    ride the MXU like the other dense phase kernels).
+
+    in_sizes: when the s2d input is a CONCAT of s2d tensors with full-res
+    channel counts (a1, a2, ...), the stored channel order is
+    (phases of a1)(phases of a2)... while the full-res conv expects
+    (a1 a2 ...) per phase — the permutation is baked into the kernel's
+    input axis."""
+    import numpy as np
+    if w.ndim == 4:
+        w = w.reshape(w.shape[2], w.shape[3])
+    cin, co = w.shape
+    if in_sizes is None:
+        in_sizes = (cin,)
+    assert sum(in_sizes) == cin
+    key = ("p1x1", tuple(in_sizes))
+    if key not in _SEL_CACHE:
+        # M[stored_row, q, full_c]: stored row (off4_j + q*a_j + i) is
+        # full-res channel (off_j + i) at phase q
+        m = np.zeros((4 * cin, 4, cin), np.float32)
+        off, off4 = 0, 0
+        for a in in_sizes:
+            for q in range(4):
+                for i in range(a):
+                    m[off4 + q * a + i, q, off + i] = 1.0
+            off += a
+            off4 += 4 * a
+        _SEL_CACHE[key] = m
+    m = jnp.asarray(_SEL_CACHE[key], w.dtype)
+    out = jnp.einsum("sqc,co->sqo", m, w)        # [4cin, 4, co], q-major out
+    return out.reshape(1, 1, 4 * cin, 4 * co)
+
+
+def conv_1x1_ps(x, w_ps, bias=None):
+    y = lax.conv_general_dilated(x, w_ps.astype(x.dtype), (1, 1),
+                                 ((0, 0), (0, 0)), dimension_numbers=_DN)
+    if bias is not None:
+        y = y + tile4(bias).astype(y.dtype)
+    return y
+
+
+def pool_phase_mean(x):
+    """avg_pool2 of the full-res map, computed from its s2d store: the 2x2
+    mean IS the mean over the 4 phase slots of each channel.  Done as a
+    dot with a constant [4C,C] matrix so it fuses on the MXU."""
+    c4 = x.shape[-1]
+    c = c4 // 4
+    key = ("pmean", c)
+    if key not in _SEL_CACHE:
+        import numpy as np
+        m = np.zeros((c4, c), np.float32)
+        for q in range(4):
+            for i in range(c):
+                m[q * c + i, i] = 0.25
+        _SEL_CACHE[key] = m
+    m = jnp.asarray(_SEL_CACHE[key], x.dtype)
+    return jnp.einsum("bhwk,kc->bhwc", x, m)
+
+
+def _up2_kernel(c: int):
+    """Constant [3,3,C,4C] kernel for upsample_bilinear2 (align_corners=
+    False, torch 2x stencil: out[2i]=.25 in[i-1]+.75 in[i]; out[2i+1]=
+    .75 in[i]+.25 in[i+1]) emitting the s2d store of the upsampled map.
+    Border clamping is handled by edge-padding the input 1 cell."""
+    import numpy as np
+    key = ("up2", c)
+    if key not in _SEL_CACHE:
+        k1 = {0: {-1: 0.25, 0: 0.75}, 1: {0: 0.75, 1: 0.25}}
+        s = np.zeros((3, 3, c, 4 * c), np.float32)
+        for py in range(2):
+            for px in range(2):
+                for ty, wy in k1[py].items():
+                    for tx, wx in k1[px].items():
+                        for i in range(c):
+                            s[ty + 1, tx + 1, i,
+                              (py * 2 + px) * c + i] = wy * wx
+        _SEL_CACHE[key] = s
+    return _SEL_CACHE[key]
+
+
+def up2_ps(x):
+    """upsample_bilinear2 ([B,H,W,C] -> full-res [B,2H,2W,C]) emitting the
+    s2d store [B,H,W,4C] directly."""
+    c = x.shape[-1]
+    w = jnp.asarray(_up2_kernel(c), x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    return lax.conv_general_dilated(xp, w, (1, 1), ((0, 0), (0, 0)),
+                                    dimension_numbers=_DN)
+
+
+def actnorm_ps(p, x):
+    """ActNorm2d apply in s2d form: per-full-res-channel affine, params
+    tiled over the 4 phases."""
+    dt = x.dtype
+    return (x + tile4(p["b"]).astype(dt)) * jnp.exp(tile4(p["w"])).astype(dt)
+
+
+def use_phase_trunk(batch: int = 8) -> bool:
+    """CFEN_PHASE_TRUNK=1 forces, =0 disables; auto follows the band's
+    use_phase_space dispatch (the trunk form only exists alongside the
+    phase-space stem/tail)."""
+    flag = os.environ.get("CFEN_PHASE_TRUNK", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return use_phase_space(batch)
 
 
 def use_phase_space(batch: int = 8) -> bool:

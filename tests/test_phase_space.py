@@ -152,6 +152,7 @@ def test_generator_phase_space_equivalence(rng, sparse):
     from cfen_vit_tpu.models.generator import (generator_init,
                                                generator_forward)
     os.environ["CFEN_PHASE_SPARSE"] = sparse
+    os.environ["CFEN_PHASE_TRUNK"] = "0"   # pin band-only (trunk tested below)
     spec = _tiny_spec()
     p = generator_init(jax.random.PRNGKey(0), spec)
     x = jnp.asarray(rng.rand(2, 128, 128, 3).astype(np.float32) * 2 - 1)
@@ -180,6 +181,7 @@ def test_generator_phase_space_equivalence(rng, sparse):
         assert d < 2e-5, (k, d)
 
     del os.environ["CFEN_PHASE_SPARSE"]
+    del os.environ["CFEN_PHASE_TRUNK"]
 
 
 _F64_GRAD_CHECK = r"""
@@ -203,6 +205,7 @@ def loss(q, v):
 os.environ["CFEN_PHASE_SPACE"] = "0"
 ref_g = jax.jit(jax.grad(loss))(p, x)
 os.environ["CFEN_PHASE_SPACE"] = "1"
+os.environ.setdefault("CFEN_PHASE_TRUNK", "0")
 got_g = jax.jit(jax.grad(loss))(p, x)
 worst = max(float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1.0))
             for a, b in zip(jax.tree_util.tree_leaves(ref_g),
@@ -225,5 +228,141 @@ def test_generator_phase_space_grads_f64_subprocess():
         os.path.dirname(os.path.abspath(__file__))), JAX_PLATFORMS="cpu")
     r = subprocess.run([sys.executable, "-c", _F64_GRAD_CHECK], env=env,
                        capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0 and "F64GRAD_OK" in r.stdout, (
+        r.stdout[-2000:], r.stderr[-2000:])
+
+
+# --------------------------------------------------------------------------
+# phase TRUNK (s2d levels) — ops/phase_space.py trunk section
+# --------------------------------------------------------------------------
+
+def test_phase_ds_trunk_matches_full_res(rng):
+    """k3 s2 p1 downsample with BOTH sides stored s2d."""
+    ci, co = 4, 6
+    x = jnp.asarray(rng.randn(2, 16, 16, ci).astype(np.float32))
+    p = {"w": jnp.asarray(rng.randn(3, 3, ci, co).astype(np.float32) * 0.2),
+         "b": jnp.asarray(rng.randn(co).astype(np.float32))}
+    ref = N.conv2d(p, x, stride=2, padding=1)               # [2,8,8,co]
+    got = PH.conv_ds_trunk(PH.space_to_depth(x),
+                           PH.expand_ds_trunk(p["w"]), p["b"])
+    np.testing.assert_allclose(np.asarray(PH.depth_to_space(got)),
+                               np.asarray(ref), atol=1e-5)
+
+
+def test_phase_convT_trunk_matches_full_res(rng):
+    """ConvTranspose2d(4,s2,p1) with BOTH sides stored s2d."""
+    ci, co = 6, 4
+    x = jnp.asarray(rng.randn(2, 8, 8, ci).astype(np.float32))
+    p = {"w": jnp.asarray(rng.randn(4, 4, ci, co).astype(np.float32) * 0.2),
+         "b": jnp.asarray(rng.randn(co).astype(np.float32))}
+    ref = N.conv_transpose2d(p, x, stride=2, padding=1, kernel=4)
+    got = PH.convT_trunk(PH.space_to_depth(x),
+                         PH.expand_convT_trunk(p["w"]), p["b"])
+    np.testing.assert_allclose(np.asarray(PH.depth_to_space(got)),
+                               np.asarray(ref), atol=1e-5)
+
+
+def test_phase_1x1_concat_matches_full_res(rng):
+    """1x1 conv over an s2d CONCAT: the (phases-of-a)(phases-of-b) stored
+    order is baked into the dense kernel's input axis."""
+    a, b_, co = 3, 5, 4
+    xa = jnp.asarray(rng.randn(2, 8, 8, a).astype(np.float32))
+    xb = jnp.asarray(rng.randn(2, 8, 8, b_).astype(np.float32))
+    p = {"w": jnp.asarray(rng.randn(1, 1, a + b_, co).astype(np.float32)),
+         "b": jnp.asarray(rng.randn(co).astype(np.float32))}
+    ref = N.conv2d(p, jnp.concatenate([xa, xb], axis=-1))
+    cat_ps = jnp.concatenate([PH.space_to_depth(xa), PH.space_to_depth(xb)],
+                             axis=-1)
+    got = PH.conv_1x1_ps(cat_ps, PH.expand_1x1_ps(p["w"], (a, b_)), p["b"])
+    np.testing.assert_allclose(np.asarray(PH.depth_to_space(got)),
+                               np.asarray(ref), atol=1e-5)
+
+
+def test_pool_phase_mean_matches_avg_pool2(rng):
+    from cfen_vit_tpu.ops.resize import avg_pool2
+    x = jnp.asarray(rng.randn(2, 12, 12, 5).astype(np.float32))
+    ref = avg_pool2(x)
+    got = PH.pool_phase_mean(PH.space_to_depth(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_up2_ps_matches_upsample_bilinear2(rng):
+    from cfen_vit_tpu.ops.resize import upsample_bilinear2
+    x = jnp.asarray(rng.randn(2, 7, 9, 5).astype(np.float32))
+    ref = upsample_bilinear2(x)
+    got = PH.depth_to_space(PH.up2_ps(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_permute_vit_params_equivalence(rng):
+    """The permuted token pipeline on permuted tokens == original pipeline
+    (then permuted), for the LViT s2d coordinate change."""
+    from cfen_vit_tpu.models.vit import (ViTSpec, vit_init,
+                                         vit_tokens_apply,
+                                         permute_vit_params, lvit_s2d_perm)
+    c, pd = 5, 2
+    spec = ViTSpec(img_dim=8, patch_dim=pd, num_channels=c,
+                   embedding_dim=c * pd * pd, num_heads=2, num_layers=2,
+                   hidden_dim=2 * c * pd * pd)
+    p = vit_init(jax.random.PRNGKey(3), spec)
+    t = jnp.asarray(rng.randn(3, spec.seq_length,
+                              c * pd * pd).astype(np.float32))
+    perm = lvit_s2d_perm(c)
+    ref = vit_tokens_apply(p, spec, t, allow_pallas=False)
+    got = vit_tokens_apply(permute_vit_params(p, perm), spec,
+                           t[..., perm], allow_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref)[..., perm],
+                               atol=2e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("remat", [False, "branch"])
+def test_generator_phase_trunk_equivalence(rng, remat):
+    """Full generator with the TRUNK s2d path (CFEN_PHASE_TRUNK=1) vs the
+    plain path — the canonical v3 spec family, with and without remat."""
+    from cfen_vit_tpu.models.generator import (generator_init,
+                                               generator_forward,
+                                               phase_trunk_supported)
+    spec = _tiny_spec()
+    assert phase_trunk_supported(spec)
+    p = generator_init(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray(rng.rand(2, 128, 128, 3).astype(np.float32) * 2 - 1)
+    _, p = jax.jit(lambda q, v: generator_forward(
+        q, spec, v, actnorm_init=True))(p, x)
+
+    def run(q, v):
+        return generator_forward(q, spec, v, remat=remat)
+
+    os.environ["CFEN_PHASE_SPACE"] = "0"
+    try:
+        ref = jax.jit(run)(p, x)
+    finally:
+        os.environ["CFEN_PHASE_SPACE"] = "1"
+    os.environ["CFEN_PHASE_TRUNK"] = "1"
+    try:
+        got = jax.jit(run)(p, x)
+    finally:
+        del os.environ["CFEN_PHASE_SPACE"]
+        del os.environ["CFEN_PHASE_TRUNK"]
+    for k in ref:
+        d = float(jnp.max(jnp.abs(got[k] - ref[k])))
+        assert d < 2e-5, (k, d)
+
+
+_F64_TRUNK_GRAD_CHECK = _F64_GRAD_CHECK.replace(
+    'os.environ.setdefault("CFEN_PHASE_TRUNK", "0")',
+    'os.environ["CFEN_PHASE_TRUNK"] = "1"')
+
+
+@pytest.mark.slow
+def test_generator_phase_trunk_grads_f64_subprocess():
+    """f64 gradient exactness through the full trunk s2d path (the
+    formulation is exact, so grads must agree to ~1e-7 relative)."""
+    import subprocess
+    import sys
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", _F64_TRUNK_GRAD_CHECK],
+                       env=env, capture_output=True, text=True, timeout=900)
     assert r.returncode == 0 and "F64GRAD_OK" in r.stdout, (
         r.stdout[-2000:], r.stderr[-2000:])
