@@ -580,10 +580,10 @@ def generator_apply(p, spec: GenSpec, x, an: Optional[ANCtx] = None,
                                                  "none")
     from ..ops import pallas_stem as PS
     from ..ops import phase_space as PH
+    trunk_ok = phase_trunk_supported(spec)
     phase = (not an.init and spec.half_res_trunk
-             and PH.use_phase_space(x.shape[0]))
-    pst = (phase and phase_trunk_supported(spec)
-           and PH.use_phase_trunk(x.shape[0]))
+             and PH.use_phase_space(x.shape[0], trunk_ok=trunk_ok))
+    pst = (phase and trunk_ok and PH.use_phase_trunk(x.shape[0]))
 
     level_fn = _level
     if mode in ("level", "level_dots", "branch") and not an.init:

@@ -537,24 +537,27 @@ def actnorm_ps(p, x):
 
 
 def use_phase_trunk(batch: int = 8) -> bool:
-    """CFEN_PHASE_TRUNK=1 forces, =0 disables; auto follows the band's
-    use_phase_space dispatch (the trunk form only exists alongside the
-    phase-space stem/tail)."""
+    """CFEN_PHASE_TRUNK=1 forces, =0 disables; auto is ON whenever the
+    phase band is on (band+trunk won every measured batch — BASELINE.md
+    r3b sweep; the trunk form only exists alongside the phase-space
+    stem/tail)."""
     flag = os.environ.get("CFEN_PHASE_TRUNK", "auto")
     if flag == "0":
         return False
     if flag == "1":
         return True
-    return use_phase_space(batch)
+    return use_phase_space(batch, trunk_ok=True)
 
 
-def use_phase_space(batch: int = 8) -> bool:
+def use_phase_space(batch: int = 8, trunk_ok: bool = False) -> bool:
     """CFEN_PHASE_SPACE=1 forces, =0 disables; auto (default) is ON on TPU
-    at batch>=8.  Measured (v5e 512px bf16, BASELINE.md r3 sweep): the
-    phase form's dense-kernel overhead (+8.7 GFLOP/img) loses ~3% where
-    XLA's full-res layout is good (b7: 218 vs 224) and wins big where it
-    flips to batch-sublane (b8: 257 vs 183; b16: 242 vs 180) — same
-    crossover as the retired tail epilogue kernel."""
+    at batch>=8, or at ANY batch when the spec supports the phase TRUNK
+    (trunk_ok).  Measured (v5e 512px bf16, BASELINE.md r3 sweeps): the
+    band-only form's dense-kernel overhead (+8.7 GFLOP/img) loses ~3%
+    where XLA's full-res layout is good (b7: 218 vs 224) and wins big
+    where it flips to batch-sublane (b8: 257 vs 183; b16: 242 vs 180);
+    band+trunk wins at EVERY measured batch (b4 252, b7 265 vs 226 plain,
+    b8 300, b16 293)."""
     flag = os.environ.get("CFEN_PHASE_SPACE", "auto")
     if flag == "0":
         return False
@@ -564,4 +567,4 @@ def use_phase_space(batch: int = 8) -> bool:
         return False
     if flag == "1":
         return True
-    return on_tpu and batch >= 8
+    return on_tpu and (batch >= 8 or trunk_ok)
