@@ -48,9 +48,9 @@ def _watchdog(seconds: float):
 
 def main():
     ap = argparse.ArgumentParser()
-    # batch 8 is the r3 single-chip sweet spot (BASELINE.md sweep): the
-    # phase-space band formulation killed the old b>=8 layout cliff and
-    # b8 = 257 img/s now beats the former b7 peak (226)
+    # batch 8 is the r3 single-chip sweet spot (BASELINE.md sweeps): the
+    # phase-space band+trunk formulation killed the old b>=8 layout cliff
+    # and b8 = 300 img/s (MFU 23.5%) beats every other batch
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16",
