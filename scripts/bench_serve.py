@@ -24,6 +24,8 @@ import urllib.request
 
 def _percentiles(xs, ps=(50, 95)):
     xs = sorted(xs)
+    if not xs:           # e.g. --serial 0
+        return {}
     out = {}
     for p in ps:
         k = min(len(xs) - 1, max(0, int(round(p / 100 * (len(xs) - 1)))))
