@@ -36,6 +36,19 @@ def _depthwise(x, win):
         feature_group_count=c)
 
 
+def _pack_lanes(x):
+    """[B,H,W,C] -> [1,H,W,B*C].
+
+    The window convs are depthwise (no cross-channel or cross-batch
+    mixing), and every SSIM output is a mean over all elements, so folding
+    batch into the channel axis is exact — and turns the TPU-pathological
+    C=3 (or C=1 shadow-branch) lane occupancy into B*C lanes.  Measured
+    (v5e b8 512px train profile, r3b): the [8,502,502,3] SSIM conv
+    fusions were ~25% of GAN-step device time at 3/128 lanes."""
+    b, h, w, c = x.shape
+    return jnp.transpose(x, (1, 2, 0, 3)).reshape(1, h, w, b * c)
+
+
 def ssim(img1, img2, window_size: int = 11, val_range=None, full: bool = False):
     """Mean SSIM over the batch (size_average=True path of the reference)."""
     if val_range is None:
@@ -48,6 +61,8 @@ def ssim(img1, img2, window_size: int = 11, val_range=None, full: bool = False):
     real_size = min(window_size, h, w)
     win = gaussian_window(real_size).astype(img1.dtype)
 
+    img1 = _pack_lanes(img1)
+    img2 = _pack_lanes(img2)
     mu1 = _depthwise(img1, win)
     mu2 = _depthwise(img2, win)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
