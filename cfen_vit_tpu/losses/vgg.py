@@ -143,6 +143,19 @@ def _normalize_feats(o, t):
     return o_n.reshape(n, h * w, c), t_n.reshape(n, h * w, c)
 
 
+def _mrf_bf16() -> bool:
+    """CFEN_MRF_BF16=1 forces; default OFF — measured REJECTION (v5e b8
+    512px GAN step, r3b): bf16 storage of the post-exp MRF values slowed
+    the step 10.64 -> 9.69 img/s despite halving the [N,block,P] buffer —
+    the f32<->bf16 converts fragment the scan body's fusions (same failure
+    mode as the sparse phase kernels).  Quality would have been fine
+    (tests/test_vgg_losses.py::test_mrf_bf16_probs_tolerance: <0.5% value
+    error, grad cosine >0.999); the flag stays for re-measurement on new
+    compilers.  cos/cdist/min/rel stay f32 in both modes: best-match cdist
+    is ~1e-3..1e-4 and bf16's 8-bit mantissa would quantize it to 0."""
+    return os.environ.get("CFEN_MRF_BF16", "0") == "1"
+
+
 def _mrf_rows(o_rows, t_n):
     """cs rows for a q-block: [N,bq,C] x [N,P,C] -> normalized [N,bq,P]."""
     cos = jnp.einsum("nqc,npc->nqp", o_rows, t_n,
@@ -152,6 +165,10 @@ def _mrf_rows(o_rows, t_n):
     cdist = -(cos - 1.0) / 2.0
     rel = cdist / (jnp.min(cdist, axis=2, keepdims=True) + 1e-5)
     before = jnp.exp((1.0 - rel) / 0.5)
+    if _mrf_bf16():
+        before = before.astype(jnp.bfloat16)
+        denom = jnp.sum(before, axis=2, keepdims=True, dtype=jnp.float32)
+        return before / denom.astype(jnp.bfloat16)
     return before / jnp.sum(before, axis=2, keepdims=True)
 
 
@@ -182,7 +199,7 @@ def _mrf(o, t, block: int = 0):
 
     if P <= block:
         cs = _mrf_rows(o_n, t_n)
-        k_max = jnp.max(cs, axis=1)
+        k_max = jnp.max(cs, axis=1).astype(jnp.float32)
         div = jnp.mean(k_max, axis=1)
         return jnp.sum(-jnp.log(div))
 
@@ -196,8 +213,10 @@ def _mrf(o, t, block: int = 0):
     def step(kmax, inp):
         rows, mask = inp
         cs = _mrf_rows(rows, t_n)                       # [N, block, P]
-        cs = jnp.where(mask[None, :, None], cs, -jnp.inf)
-        return jnp.maximum(kmax, jnp.max(cs, axis=1)), None
+        cs = jnp.where(mask[None, :, None], cs,
+                       jnp.asarray(-jnp.inf, cs.dtype))
+        return jnp.maximum(kmax,
+                           jnp.max(cs, axis=1).astype(jnp.float32)), None
 
     kmax0 = jnp.full((n, P), -jnp.inf, jnp.float32)
     k_max, _ = jax.lax.scan(step, kmax0, (blocks, valid))

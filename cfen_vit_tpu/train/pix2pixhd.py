@@ -91,7 +91,10 @@ class EpdnTrainer:
         self.state = {
             "g": g, "d": d,
             "g_opt": self.adam.init(g), "d_opt": self.adam.init(d),
-            "pool": pool_init(cfg.pool_size, img_shape),
+            "pool": pool_init(
+                cfg.pool_size, img_shape,
+                dtype=(jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                       else jnp.float32)),
             "rng": kp, "step": jnp.zeros((), jnp.int32),
         }
         self.vgg = vgg19_init(

@@ -83,33 +83,46 @@ _MODEL_DEFAULT_G = {
 # device-side ImagePool
 # --------------------------------------------------------------------------
 
-def pool_init(pool_size: int, shape) -> Dict:
-    return {"buf": jnp.zeros((pool_size,) + tuple(shape), jnp.float32),
+def pool_init(pool_size: int, shape, dtype=jnp.float32) -> Dict:
+    """Ring buffer with ONE extra scratch slot (index pool_size): the
+    per-image update always writes exactly one slot, and the no-op case
+    targets the scratch row, so the scan body is O(image) — the original
+    two-variant + where(...) form materialized three full copies of the
+    50x512x512x3 buffer per image (~19 ms/pool/step at b8, r3b train
+    profile).  dtype: pass the compute dtype — fakes arrive bf16 under
+    bf16 runs, so a bf16 pool stores them losslessly at half the HBM
+    traffic (the reference pool holds whatever D consumes,
+    util/image_pool.py:12-31)."""
+    if pool_size == 0:
+        return {"buf": jnp.zeros((0,) + tuple(shape), dtype),
+                "n": jnp.zeros((), jnp.int32)}
+    return {"buf": jnp.zeros((pool_size + 1,) + tuple(shape), dtype),
             "n": jnp.zeros((), jnp.int32)}
 
 
 def pool_query(pool: Dict, images, rng):
-    """Sequential per-image semantics of util/image_pool.py:12-31."""
-    size = pool["buf"].shape[0]
-    if size == 0:
+    """Sequential per-image semantics of util/image_pool.py:12-31.
+
+    pool["buf"] has size+1 rows; the last row is write-only scratch and
+    never sampled (rid ranges over [0, size))."""
+    size = pool["buf"].shape[0] - 1
+    if size <= 0:
         return pool, images
-    images = images.astype(pool["buf"].dtype)  # pool is fp32 under bf16 runs
+    images = images.astype(pool["buf"].dtype)
 
     def body(carry, inp):
         buf, n, key = carry
         img, = inp
         key, k1, k2 = jax.random.split(key, 3)
         below = n < size
-        store_idx = jnp.minimum(n, size - 1)
-        buf_filled = jax.lax.dynamic_update_index_in_dim(
-            buf, img, store_idx, 0)
         p = jax.random.uniform(k1)
         rid = jax.random.randint(k2, (), 0, size)
         old = jax.lax.dynamic_index_in_dim(buf, rid, 0, keepdims=False)
-        buf_swapped = jax.lax.dynamic_update_index_in_dim(buf, img, rid, 0)
         swap = p > 0.5
-        new_buf = jnp.where(below, buf_filled,
-                            jnp.where(swap, buf_swapped, buf))
+        # fill slot n while filling; swap slot rid; else the scratch row
+        idx = jnp.where(below, jnp.minimum(n, size - 1),
+                        jnp.where(swap, rid, size))
+        new_buf = jax.lax.dynamic_update_index_in_dim(buf, img, idx, 0)
         out = jnp.where(below, img, jnp.where(swap, old, img))
         new_n = jnp.where(below, n + 1, n)
         return (new_buf, new_n, key), out
@@ -184,7 +197,9 @@ class GanTrainer:
         d = {name: define_d(jax.random.fold_in(kd, i), cfg)
              for i, name in enumerate(self.branches.values())}
         img_shape = tuple(x.shape[1:])
-        pools = {name: pool_init(cfg.pool_size, img_shape)
+        pdt = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+               else jnp.float32)
+        pools = {name: pool_init(cfg.pool_size, img_shape, dtype=pdt)
                  for name in self.branches.values()}
         state = {
             "g": g, "d": d,

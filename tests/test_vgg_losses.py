@@ -174,6 +174,31 @@ def test_mrf_blocked_matches_dense(vgg_pair, rng):
     np.testing.assert_allclose(np.asarray(gb), np.asarray(gd), atol=1e-4)
 
 
+def test_mrf_bf16_probs_tolerance(vgg_pair, rng):
+    """The opt-in bf16 storage of the post-exp MRF values (losses/vgg.py
+    _mrf_bf16, CFEN_MRF_BF16=1 — a measured perf rejection, kept for
+    compiler re-measurement) stays within ~0.5% of the f32 path, values
+    and gradient direction (the reductions and the pre-exp
+    relative-distance math stay f32)."""
+    import os
+    import jax
+    from cfen_vit_tpu.losses.vgg import _mrf
+    o = jnp.asarray(rng.randn(1, 12, 12, 8).astype(np.float32))
+    t = jnp.asarray(rng.randn(1, 12, 12, 8).astype(np.float32))
+    ref = float(_mrf(o, t, block=32))
+    gref = jax.grad(lambda a: _mrf(a, t, block=32))(o)
+    os.environ["CFEN_MRF_BF16"] = "1"
+    try:
+        got = float(_mrf(o, t, block=32))
+        g = jax.grad(lambda a: _mrf(a, t, block=32))(o)
+    finally:
+        del os.environ["CFEN_MRF_BF16"]
+    assert abs(got - ref) < 5e-3 * max(1.0, abs(ref))
+    cosg = float(jnp.sum(g * gref) /
+                 (jnp.linalg.norm(g) * jnp.linalg.norm(gref)))
+    assert cosg > 0.999, cosg
+
+
 def test_weights_from_torch_vgg_converter_golden(rng, tmp_path):
     """VERDICT r1 missing #1: prove the torchvision-state_dict converter
     end-to-end.  torchvision itself is absent (zero egress), so build a
