@@ -454,13 +454,24 @@ def _local_vit(p, spec: GenSpec, lvl: int, x, an, path, ps: bool = False):
     vs = spec.lvit_spec(lvl)
     b, h, w, _ = x.shape
     if ps:
+        from ..ops import phase_space as PH
         tc = spec.patch_size // 2            # tile side in s2d cells
+        if vs.shrink > 1:
+            # v5 bottleneck: pointwise, so it has an exact s2d form
+            sk = p["conv_shrink"]
+            x = N.relu(PH.actnorm_ps(sk["an"], PH.conv_1x1_ps(
+                x, PH.expand_1x1_ps(sk["conv"]["w"]), sk["conv"].get("b"))))
         tiles = split_tiles(x, tc)
         t = tiles.reshape(tiles.shape[0], tc * tc, tiles.shape[-1])
-        pp = permute_vit_params(p, lvit_s2d_perm(vs.num_channels))
+        pp = permute_vit_params(p, lvit_s2d_perm(vs.embedding_dim // 4))
         t = vit_tokens_apply(pp, vs, t, allow_pallas=False)
         t = t.reshape(t.shape[0], tc, tc, t.shape[-1])
-        return join_tiles(t, b, h, w)
+        y = join_tiles(t, b, h, w)
+        if vs.shrink > 1:
+            ek = p["conv_extend"]
+            y = N.relu(PH.actnorm_ps(ek["an"], PH.conv_1x1_ps(
+                y, PH.expand_1x1_ps(ek["conv"]["w"]), ek["conv"].get("b"))))
+        return y
     if vs.shrink > 1:
         x = vit_shrink_apply(p, "conv_shrink", x, an, path)
     tiles = split_tiles(x, spec.patch_size)
@@ -858,11 +869,11 @@ def _stem_ds_phase_trunk(x, head_p, ds_conv_p):
 
 
 def phase_trunk_supported(spec: GenSpec) -> bool:
-    """Phase-trunk (s2d levels) support gate — v1 covers the canonical
-    family: half-res trunk, no v5 channel shrink, patch_dim 2 (so LViT
-    patchify == s2d), pooled GViT.  Unsupported specs silently run the
-    band-only phase path."""
-    return (spec.half_res_trunk and not spec.cnn and spec.shrink == 1
+    """Phase-trunk (s2d levels) support gate — covers the half-res
+    family (v3 AND v5: the v5 shrink/extend bottlenecks are pointwise and
+    have exact s2d forms): patch_dim 2 (so LViT patchify == s2d), pooled
+    GViT.  Unsupported specs silently run the band-only phase path."""
+    return (spec.half_res_trunk and not spec.cnn
             and spec.patch_dim == 2 and spec.patch_size % 2 == 0
             and (not spec.use_global or spec.global_pools >= 1)
             and spec.level_size(3) % 2 == 0

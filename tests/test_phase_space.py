@@ -316,14 +316,24 @@ def test_permute_vit_params_equivalence(rng):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("remat", [False, "branch"])
+@pytest.mark.parametrize("remat", [False, "branch", "v5"])
 def test_generator_phase_trunk_equivalence(rng, remat):
     """Full generator with the TRUNK s2d path (CFEN_PHASE_TRUNK=1) vs the
-    plain path — the canonical v3 spec family, with and without remat."""
+    plain path — the canonical v3 spec family with and without remat, and
+    the v5 shrink-bottleneck family (pointwise shrink/extend in s2d
+    form)."""
     from cfen_vit_tpu.models.generator import (generator_init,
                                                generator_forward,
                                                phase_trunk_supported)
-    spec = _tiny_spec()
+    if remat == "v5":
+        from dataclasses import replace
+        from cfen_vit_tpu.models.registry import generator_spec
+        spec = replace(generator_spec("iid_hlgvit_crs_gd4_cfs_v5"),
+                       n_feats=8, load_size=64, patch_size=8, num_heads=2,
+                       hidden_dim_ratio=2)
+        remat = False
+    else:
+        spec = _tiny_spec()
     assert phase_trunk_supported(spec)
     p = generator_init(jax.random.PRNGKey(0), spec)
     x = jnp.asarray(rng.rand(2, 128, 128, 3).astype(np.float32) * 2 - 1)
