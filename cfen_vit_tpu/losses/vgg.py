@@ -197,6 +197,11 @@ def _mrf(o, t, block: int = 0):
     o_n, t_n = _normalize_feats(o, t)
     n, P, c = o_n.shape
 
+    from ..ops import pallas_mrf as PM
+    if PM.use_pallas_mrf() and PM.supported(P, c):
+        # flash-MRF kernels: the [P,P] matrix never exists in HBM
+        return PM.mrf_core(o_n, t_n)
+
     if P <= block:
         cs = _mrf_rows(o_n, t_n)
         k_max = jnp.max(cs, axis=1).astype(jnp.float32)

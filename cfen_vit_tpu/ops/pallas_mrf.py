@@ -1,0 +1,320 @@
+"""Flash-MRF: the ID-MRF divergence as streaming Pallas/TPU kernels.
+
+The ID-MRF loss (reference consistency.py:42-91) builds, per batch image
+and VGG layer, a [P, P] relative-distance matrix (P = H*W feature
+positions; 16384 at relu3_1 for 512px inputs) and reduces it to a scalar.
+The XLA lowering — even the lax.scan-blocked form in losses/vgg.py — must
+materialize ~1 GB of f32 [block, P] intermediates per step in HBM
+(cos -> relative distance -> exp -> row-normalize -> column-max), and the
+r3b train profile measured those scans + their backward at ~35% of GAN-step
+device time at b8.
+
+This module computes the same math flash-attention-style: each kernel
+step holds a full q-row strip [Sq, P] in VMEM, so the [P, P] matrix NEVER
+exists in HBM — forward or backward.  What leaves the kernels is O(P):
+
+  forward : m[q] = min_p cd, Z[q] = sum_p exp-term, p*[q] = argmin,
+            K[p] = max_q cs, q*[p] = argmax           (all [N, P])
+  backward: two kernels RECOMPUTE the cos dot tile-wise (the MXU is ~5%
+            busy here; trading FLOPs for HBM is the whole point) and emit
+            do = dcos @ t and dt = dcos^T @ o directly.
+
+Math (per batch n; o, t are the L2-normalized features [P, C]):
+
+  cos = o @ t^T            cd = (1 - cos)/2
+  m[q] = min_p cd          r = cd / (m + eps)        eps = 1e-5
+  be = exp(2 - 2 r)        Z[q] = sum_p be           cs = be / Z
+  K[p] = max_q cs          div = mean_p K            L = -log(div)
+
+Backward (g = upstream cotangent on sum_n L_n):
+  dK = -g / (div P)
+  dZ[q] = -(dK / Z[q]) * sum_{p: q*[p]=q} K[p]       (segment-sum, XLA)
+  B[q,p] = dK [q = q*[p]] / Z[q] + dZ[q]             (d L / d be)
+  dcos_dense[q,p] = be B / (m + eps)                 (in-kernel, dense)
+  dm[q] = sum_p 2 be B cd / (m + eps)^2              (do-kernel by-product)
+  dcos_point[q, p*[q]] = -dm[q] / 2                  (rank-1, XLA gather/
+                                                      scatter epilogue)
+  do = dcos @ t + point;  dt = dcos^T @ o + point
+
+Exactness: identical operations to losses/vgg.py _mrf in f32 up to dot
+tiling reassociation (tests/test_pallas_mrf.py: values and grads vs the
+dense path < 1e-4, interpreter mode on CPU).  Tie-breaking for both
+argmin and argmax picks the first index, matching torch.min/max.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except ImportError:  # pragma: no cover
+    _HAS_PALLAS = False
+
+_EPS = 1e-5
+_SQ = 32          # q-strip rows: [32, 16384] f32 strip = 2 MB VMEM
+_BIG = jnp.float32(3.4e38)
+
+
+def _first_argmin(x, axis):
+    """First argmin along axis via the iota/where/min trick (Mosaic has no
+    argmin; first-index ties match torch.min)."""
+    mn = jnp.min(x, axis=axis, keepdims=True)
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    return jnp.min(jnp.where(x == mn, idx, jnp.int32(x.shape[axis])),
+                   axis=axis)
+
+
+# --------------------------------------------------------------------------
+# forward kernel: per (n, q-strip) — row stats + running column max
+# --------------------------------------------------------------------------
+
+def _fw_kernel(sq: int, o_ref, t_ref, m_ref, z_ref, ps_ref,
+               k_ref, qs_ref):
+    qs = pl.program_id(1)
+    o = o_ref[0]                                   # [Sq, C]
+    t = t_ref[0]                                   # [P, C]
+    cos = jax.lax.dot_general(
+        o, t, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)        # [Sq, P]
+    cd = 0.5 - 0.5 * cos
+    m = jnp.min(cd, axis=1, keepdims=True)         # [Sq, 1]
+    p_star = _first_argmin(cd, axis=1)             # [Sq]
+    be = jnp.exp(2.0 - 2.0 * (cd / (m + _EPS)))
+    z = jnp.sum(be, axis=1, keepdims=True)         # [Sq, 1]
+    cs = be / z
+
+    m_ref[0, 0] = m[:, 0]
+    z_ref[0, 0] = z[:, 0]
+    ps_ref[0, 0] = p_star
+
+    cmax = jnp.max(cs, axis=0)                     # [P]
+    riot = jax.lax.broadcasted_iota(jnp.int32, cs.shape, 0)
+    rloc = jnp.min(jnp.where(cs == cmax[None, :], riot, jnp.int32(sq)),
+                   axis=0)
+    rglob = rloc + qs * sq
+
+    @pl.when(qs == 0)
+    def _init():
+        k_ref[0] = cmax
+        qs_ref[0] = rglob
+
+    @pl.when(qs != 0)
+    def _acc():
+        upd = cmax > k_ref[0]
+        k_ref[0] = jnp.where(upd, cmax, k_ref[0])
+        qs_ref[0] = jnp.where(upd, rglob, qs_ref[0])
+
+
+def _mrf_forward_stats(o, t, interpret: bool = False):
+    """o, t: [N, P, C] -> (m, z, p_star, k, q_star), each [N, P]."""
+    n, p_len, c = o.shape
+    sq = _SQ
+    n_strips = p_len // sq
+    grid = (n, n_strips)
+    o_spec = pl.BlockSpec((1, sq, c), lambda i, j: (i, j, 0))
+    t_spec = pl.BlockSpec((1, p_len, c), lambda i, j: (i, 0, 0))
+    row_spec = pl.BlockSpec((1, 1, sq), lambda i, j: (i, j, 0))
+    col_spec = pl.BlockSpec((1, p_len), lambda i, j: (i, 0))
+    outs = pl.pallas_call(
+        functools.partial(_fw_kernel, sq),
+        out_shape=[
+            jax.ShapeDtypeStruct((n, n_strips, sq), jnp.float32),  # m
+            jax.ShapeDtypeStruct((n, n_strips, sq), jnp.float32),  # z
+            jax.ShapeDtypeStruct((n, n_strips, sq), jnp.int32),    # p*
+            jax.ShapeDtypeStruct((n, p_len), jnp.float32),         # K
+            jax.ShapeDtypeStruct((n, p_len), jnp.int32),           # q*
+        ],
+        grid=grid,
+        in_specs=[o_spec, t_spec],
+        out_specs=[row_spec, row_spec, row_spec, col_spec, col_spec],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * p_len * p_len * c,
+            bytes_accessed=n * p_len * c * (2 + n_strips * t.dtype.itemsize),
+            transcendentals=n * p_len * p_len),
+        interpret=interpret,
+    )(o, t)
+    m, z, p_star, k, q_star = outs
+    return (m.reshape(n, p_len), z.reshape(n, p_len),
+            p_star.reshape(n, p_len), k, q_star)
+
+
+# --------------------------------------------------------------------------
+# backward kernels.  Both recompute cos tile-wise and apply the dense
+# cotangent  dcos[q,p] = be * B / (m + eps),
+#            B = dK * [q = q*[p]] / Z[q] + dZ[q].
+# The do-kernel (q-strips) also accumulates dm[q].
+# --------------------------------------------------------------------------
+
+def _bwd_do_kernel(sq: int, o_ref, t_ref, m_ref, z_ref, dz_ref, qstar_ref,
+                   dk_ref, do_ref, dm_ref):
+    qs = pl.program_id(1)
+    o = o_ref[0]                                   # [Sq, C]
+    t = t_ref[0]                                   # [P, C]
+    cos = jax.lax.dot_general(
+        o, t, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)        # [Sq, P]
+    cd = 0.5 - 0.5 * cos
+    m = m_ref[0, 0][:, None]                       # [Sq, 1]
+    z = z_ref[0, 0][:, None]
+    dz = dz_ref[0, 0][:, None]
+    dk = dk_ref[0, 0]
+    be = jnp.exp(2.0 - 2.0 * (cd / (m + _EPS)))
+    riot = jax.lax.broadcasted_iota(jnp.int32, cd.shape, 0) + qs * sq
+    hit = riot == qstar_ref[0][None, :]            # [Sq, P]
+    b_cot = jnp.where(hit, dk / z, 0.0) + dz
+    beb = be * b_cot
+    dcos = beb / (m + _EPS)
+    dm_ref[0, 0] = jnp.sum(2.0 * beb * cd, axis=1) / (m[:, 0] + _EPS) ** 2
+    do_ref[0] = jax.lax.dot_general(
+        dcos, t, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(do_ref.dtype)
+
+
+def _bwd_dt_kernel(sp: int, t_ref, o_ref, m_ref, z_ref, dz_ref, qstar_ref,
+                   dk_ref, dt_ref):
+    t = t_ref[0]                                   # [Sp, C] (p-strip)
+    o = o_ref[0]                                   # [P, C]  (all q rows)
+    cosT = jax.lax.dot_general(
+        t, o, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)        # [Sp, P(q)]
+    cd = 0.5 - 0.5 * cosT
+    m = m_ref[0][None, :]                          # [1, P(q)]
+    z = z_ref[0][None, :]
+    dz = dz_ref[0][None, :]
+    dk = dk_ref[0, 0]
+    be = jnp.exp(2.0 - 2.0 * (cd / (m + _EPS)))
+    qiot = jax.lax.broadcasted_iota(jnp.int32, cd.shape, 1)
+    hit = qiot == qstar_ref[0, 0][:, None]         # [Sp, P(q)]
+    b_cot = jnp.where(hit, dk / z, 0.0) + dz
+    dcosT = be * b_cot / (m + _EPS)
+    dt_ref[0] = jax.lax.dot_general(
+        dcosT, o, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dt_ref.dtype)
+
+
+def _mrf_backward(o, t, m, z, dz, q_star, dk, interpret: bool = False):
+    """Dense cotangent parts: returns (do, dt, dm), do/dt [N,P,C] in the
+    input dtype, dm [N,P] f32."""
+    n, p_len, c = o.shape
+    sq = _SQ
+    n_strips = p_len // sq
+    strip_spec = pl.BlockSpec((1, sq, c), lambda i, j: (i, j, 0))
+    full_spec = pl.BlockSpec((1, p_len, c), lambda i, j: (i, 0, 0))
+    rowb_spec = pl.BlockSpec((1, 1, sq), lambda i, j: (i, j, 0))
+    colb_spec = pl.BlockSpec((1, p_len), lambda i, j: (i, 0))
+    dk_spec = pl.BlockSpec((1, 1), lambda i, j: (i, 0),
+                           memory_space=pltpu.SMEM)
+    m3 = m.reshape(n, n_strips, sq)
+    z3 = z.reshape(n, n_strips, sq)
+    dz3 = dz.reshape(n, n_strips, sq)
+    do, dm = pl.pallas_call(
+        functools.partial(_bwd_do_kernel, sq),
+        out_shape=[jax.ShapeDtypeStruct((n, p_len, c), o.dtype),
+                   jax.ShapeDtypeStruct((n, n_strips, sq), jnp.float32)],
+        grid=(n, n_strips),
+        in_specs=[strip_spec, full_spec, rowb_spec, rowb_spec, rowb_spec,
+                  colb_spec, dk_spec],
+        out_specs=[strip_spec, rowb_spec],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * p_len * p_len * c,
+            bytes_accessed=2 * n * p_len * c * o.dtype.itemsize,
+            transcendentals=n * p_len * p_len),
+        interpret=interpret,
+    )(o, t, m3, z3, dz3, q_star, dk)
+    # dt-kernel: p-strips; the q-side stats ride whole-[P] blocks
+    qsb = q_star.reshape(n, n_strips, sq)
+    dt = pl.pallas_call(
+        functools.partial(_bwd_dt_kernel, sq),
+        out_shape=jax.ShapeDtypeStruct((n, p_len, c), t.dtype),
+        grid=(n, n_strips),
+        in_specs=[strip_spec, full_spec, colb_spec, colb_spec, colb_spec,
+                  rowb_spec, dk_spec],
+        out_specs=strip_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * p_len * p_len * c,
+            bytes_accessed=2 * n * p_len * c * t.dtype.itemsize,
+            transcendentals=n * p_len * p_len),
+        interpret=interpret,
+    )(t, o, m, z, dz, qsb, dk)
+    return do, dt, dm.reshape(n, p_len)
+
+
+# --------------------------------------------------------------------------
+# custom-vjp core
+# --------------------------------------------------------------------------
+
+def _interpret() -> bool:
+    return os.environ.get("CFEN_PALLAS_INTERPRET", "0") == "1"
+
+
+@jax.custom_vjp
+def mrf_core(o_n, t_n):
+    """sum_n -log(mean_p max_q cs[q,p]) for normalized features [N,P,C]."""
+    _, _, _, k, _ = _mrf_forward_stats(o_n, t_n, interpret=_interpret())
+    div = jnp.mean(k, axis=1)
+    return jnp.sum(-jnp.log(div))
+
+
+def _mrf_core_fwd(o_n, t_n):
+    m, z, p_star, k, q_star = _mrf_forward_stats(
+        o_n, t_n, interpret=_interpret())
+    div = jnp.mean(k, axis=1)
+    loss = jnp.sum(-jnp.log(div))
+    return loss, (o_n, t_n, m, z, p_star, k, q_star, div)
+
+
+def _mrf_core_bwd(res, g):
+    o_n, t_n, m, z, p_star, k, q_star, div = res
+    n, p_len, c = o_n.shape
+    dk = (-g / (div * p_len)).astype(jnp.float32)[:, None]   # [N,1]
+    # dZ via segment-sum of K over argmax rows (vmapped scatter-add)
+    sum_kq = jax.vmap(
+        lambda qs, kk: jnp.zeros((p_len,), jnp.float32).at[qs].add(kk)
+    )(q_star, k)
+    dz = -dk * sum_kq / z
+    do, dt, dm = _mrf_backward(o_n, t_n, m, z, dz, q_star, dk,
+                               interpret=_interpret())
+    # rank-1 argmin corrections: dcos[q, p*[q]] += -dm[q]/2
+    coef = (-0.5 * dm).astype(jnp.float32)                   # [N,P]
+    t_at_pstar = jnp.take_along_axis(
+        t_n.astype(jnp.float32), p_star[:, :, None], axis=1)  # [N,P,C]
+    do = do.astype(jnp.float32) + coef[:, :, None] * t_at_pstar
+    dt_sc = jax.vmap(
+        lambda ps, vals: jnp.zeros((p_len, c), jnp.float32).at[ps].add(vals)
+    )(p_star, coef[:, :, None] * o_n.astype(jnp.float32))
+    dt = dt.astype(jnp.float32) + dt_sc
+    return do.astype(o_n.dtype), dt.astype(t_n.dtype)
+
+
+mrf_core.defvjp(_mrf_core_fwd, _mrf_core_bwd)
+
+
+# --------------------------------------------------------------------------
+# dispatch
+# --------------------------------------------------------------------------
+
+def supported(p_len: int, c: int) -> bool:
+    return _HAS_PALLAS and p_len % _SQ == 0 and p_len >= 1024 \
+        and c % 128 == 0
+
+
+def use_pallas_mrf() -> bool:
+    """CFEN_PALLAS_MRF=1 forces, =0 disables; auto is currently OFF
+    pending the end-to-end on-device measurement (repo policy: a kernel
+    ships default-on only with a BASELINE.md number behind it — the XLA
+    scan it replaces measured ~35% of GAN-step device time at b8, r3b
+    train profile, so the expectation is a large win, but expectation is
+    not a measurement)."""
+    flag = os.environ.get("CFEN_PALLAS_MRF", "auto")
+    if flag == "0" or not _HAS_PALLAS:
+        return False
+    if flag == "1":
+        return True
+    return False
