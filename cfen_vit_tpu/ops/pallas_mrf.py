@@ -58,8 +58,17 @@ except ImportError:  # pragma: no cover
     _HAS_PALLAS = False
 
 _EPS = 1e-5
-_SQ = 32          # q-strip rows: [32, 16384] f32 strip = 2 MB VMEM
-_BIG = jnp.float32(3.4e38)
+
+
+def _sq() -> int:
+    """q-strip rows (CFEN_MRF_SQ; default 32: a [32, 16384] f32 strip is
+    2 MB VMEM, leaving room for the resident [P, C] operand and Mosaic's
+    elementwise temporaries in the ~16 MB budget)."""
+    try:
+        v = int(os.environ.get("CFEN_MRF_SQ", "") or 32)
+    except ValueError:  # pragma: no cover
+        v = 32
+    return max(8, v)
 
 
 def _first_argmin(x, axis):
@@ -115,7 +124,7 @@ def _fw_kernel(sq: int, o_ref, t_ref, m_ref, z_ref, ps_ref,
 def _mrf_forward_stats(o, t, interpret: bool = False):
     """o, t: [N, P, C] -> (m, z, p_star, k, q_star), each [N, P]."""
     n, p_len, c = o.shape
-    sq = _SQ
+    sq = _sq()
     n_strips = p_len // sq
     grid = (n, n_strips)
     o_spec = pl.BlockSpec((1, sq, c), lambda i, j: (i, j, 0))
@@ -203,7 +212,7 @@ def _mrf_backward(o, t, m, z, dz, q_star, dk, interpret: bool = False):
     """Dense cotangent parts: returns (do, dt, dm), do/dt [N,P,C] in the
     input dtype, dm [N,P] f32."""
     n, p_len, c = o.shape
-    sq = _SQ
+    sq = _sq()
     n_strips = p_len // sq
     strip_spec = pl.BlockSpec((1, sq, c), lambda i, j: (i, j, 0))
     full_spec = pl.BlockSpec((1, p_len, c), lambda i, j: (i, 0, 0))
@@ -301,7 +310,7 @@ mrf_core.defvjp(_mrf_core_fwd, _mrf_core_bwd)
 # --------------------------------------------------------------------------
 
 def supported(p_len: int, c: int) -> bool:
-    return _HAS_PALLAS and p_len % _SQ == 0 and p_len >= 1024 \
+    return _HAS_PALLAS and p_len % _sq() == 0 and p_len >= 1024 \
         and c % 128 == 0
 
 
