@@ -40,7 +40,11 @@ Exactness: identical operations to losses/vgg.py _mrf in f32 up to dot
 tiling reassociation (tests/test_pallas_mrf.py: values and grads vs the
 dense path < 1e-4, interpreter mode on CPU).  Tie-breaking for both
 argmin and argmax picks the first index, matching torch.min/max.
-"""
+
+Mosaic hygiene (CLAUDE.md r2/r3 gotchas): every in-kernel tensor and
+every ref store is 2-D — row stats live as [Sq, 1] blocks of [N, P, 1]
+arrays, column stats as [1, P] blocks of [N, 1, P] — no 1-D vectors, no
+lane-splitting reshapes, no dynamic slices."""
 
 from __future__ import annotations
 
@@ -71,15 +75,6 @@ def _sq() -> int:
     return max(8, v)
 
 
-def _first_argmin(x, axis):
-    """First argmin along axis via the iota/where/min trick (Mosaic has no
-    argmin; first-index ties match torch.min)."""
-    mn = jnp.min(x, axis=axis, keepdims=True)
-    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
-    return jnp.min(jnp.where(x == mn, idx, jnp.int32(x.shape[axis])),
-                   axis=axis)
-
-
 # --------------------------------------------------------------------------
 # forward kernel: per (n, q-strip) — row stats + running column max
 # --------------------------------------------------------------------------
@@ -94,19 +89,21 @@ def _fw_kernel(sq: int, o_ref, t_ref, m_ref, z_ref, ps_ref,
         preferred_element_type=jnp.float32)        # [Sq, P]
     cd = 0.5 - 0.5 * cos
     m = jnp.min(cd, axis=1, keepdims=True)         # [Sq, 1]
-    p_star = _first_argmin(cd, axis=1)             # [Sq]
+    piot = jax.lax.broadcasted_iota(jnp.int32, cd.shape, 1)
+    p_star = jnp.min(jnp.where(cd == m, piot, jnp.int32(cd.shape[1])),
+                     axis=1, keepdims=True)        # [Sq, 1] first argmin
     be = jnp.exp(2.0 - 2.0 * (cd / (m + _EPS)))
     z = jnp.sum(be, axis=1, keepdims=True)         # [Sq, 1]
     cs = be / z
 
-    m_ref[0, 0] = m[:, 0]
-    z_ref[0, 0] = z[:, 0]
-    ps_ref[0, 0] = p_star
+    m_ref[0] = m
+    z_ref[0] = z
+    ps_ref[0] = p_star
 
-    cmax = jnp.max(cs, axis=0)                     # [P]
+    cmax = jnp.max(cs, axis=0, keepdims=True)      # [1, P]
     riot = jax.lax.broadcasted_iota(jnp.int32, cs.shape, 0)
-    rloc = jnp.min(jnp.where(cs == cmax[None, :], riot, jnp.int32(sq)),
-                   axis=0)
+    rloc = jnp.min(jnp.where(cs == cmax, riot, jnp.int32(sq)),
+                   axis=0, keepdims=True)          # [1, P] first argmax
     rglob = rloc + qs * sq
 
     @pl.when(qs == 0)
@@ -122,36 +119,33 @@ def _fw_kernel(sq: int, o_ref, t_ref, m_ref, z_ref, ps_ref,
 
 
 def _mrf_forward_stats(o, t, interpret: bool = False):
-    """o, t: [N, P, C] -> (m, z, p_star, k, q_star), each [N, P]."""
+    """o, t: [N, P, C] -> (m, z, p_star, k, q_star) with m/z/p_star
+    [N, P, 1] and k/q_star [N, 1, P]."""
     n, p_len, c = o.shape
     sq = _sq()
     n_strips = p_len // sq
-    grid = (n, n_strips)
     o_spec = pl.BlockSpec((1, sq, c), lambda i, j: (i, j, 0))
     t_spec = pl.BlockSpec((1, p_len, c), lambda i, j: (i, 0, 0))
-    row_spec = pl.BlockSpec((1, 1, sq), lambda i, j: (i, j, 0))
-    col_spec = pl.BlockSpec((1, p_len), lambda i, j: (i, 0))
-    outs = pl.pallas_call(
+    row_spec = pl.BlockSpec((1, sq, 1), lambda i, j: (i, j, 0))
+    col_spec = pl.BlockSpec((1, 1, p_len), lambda i, j: (i, 0, 0))
+    return pl.pallas_call(
         functools.partial(_fw_kernel, sq),
         out_shape=[
-            jax.ShapeDtypeStruct((n, n_strips, sq), jnp.float32),  # m
-            jax.ShapeDtypeStruct((n, n_strips, sq), jnp.float32),  # z
-            jax.ShapeDtypeStruct((n, n_strips, sq), jnp.int32),    # p*
-            jax.ShapeDtypeStruct((n, p_len), jnp.float32),         # K
-            jax.ShapeDtypeStruct((n, p_len), jnp.int32),           # q*
+            jax.ShapeDtypeStruct((n, p_len, 1), jnp.float32),   # m
+            jax.ShapeDtypeStruct((n, p_len, 1), jnp.float32),   # z
+            jax.ShapeDtypeStruct((n, p_len, 1), jnp.int32),     # p*
+            jax.ShapeDtypeStruct((n, 1, p_len), jnp.float32),   # K
+            jax.ShapeDtypeStruct((n, 1, p_len), jnp.int32),     # q*
         ],
-        grid=grid,
+        grid=(n, n_strips),
         in_specs=[o_spec, t_spec],
         out_specs=[row_spec, row_spec, row_spec, col_spec, col_spec],
         cost_estimate=pl.CostEstimate(
             flops=2 * n * p_len * p_len * c,
-            bytes_accessed=n * p_len * c * (2 + n_strips * t.dtype.itemsize),
+            bytes_accessed=2 * n * p_len * c * o.dtype.itemsize,
             transcendentals=n * p_len * p_len),
         interpret=interpret,
     )(o, t)
-    m, z, p_star, k, q_star = outs
-    return (m.reshape(n, p_len), z.reshape(n, p_len),
-            p_star.reshape(n, p_len), k, q_star)
 
 
 # --------------------------------------------------------------------------
@@ -170,17 +164,18 @@ def _bwd_do_kernel(sq: int, o_ref, t_ref, m_ref, z_ref, dz_ref, qstar_ref,
         o, t, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)        # [Sq, P]
     cd = 0.5 - 0.5 * cos
-    m = m_ref[0, 0][:, None]                       # [Sq, 1]
-    z = z_ref[0, 0][:, None]
-    dz = dz_ref[0, 0][:, None]
+    m = m_ref[0]                                   # [Sq, 1]
+    z = z_ref[0]
+    dz = dz_ref[0]
     dk = dk_ref[0, 0]
     be = jnp.exp(2.0 - 2.0 * (cd / (m + _EPS)))
     riot = jax.lax.broadcasted_iota(jnp.int32, cd.shape, 0) + qs * sq
-    hit = riot == qstar_ref[0][None, :]            # [Sq, P]
+    hit = riot == qstar_ref[0]                     # [Sq,P] vs [1,P]
     b_cot = jnp.where(hit, dk / z, 0.0) + dz
     beb = be * b_cot
     dcos = beb / (m + _EPS)
-    dm_ref[0, 0] = jnp.sum(2.0 * beb * cd, axis=1) / (m[:, 0] + _EPS) ** 2
+    dm_ref[0] = (jnp.sum(2.0 * beb * cd, axis=1, keepdims=True)
+                 / (m + _EPS) ** 2)
     do_ref[0] = jax.lax.dot_general(
         dcos, t, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(do_ref.dtype)
@@ -190,43 +185,41 @@ def _bwd_dt_kernel(sp: int, t_ref, o_ref, m_ref, z_ref, dz_ref, qstar_ref,
                    dk_ref, dt_ref):
     t = t_ref[0]                                   # [Sp, C] (p-strip)
     o = o_ref[0]                                   # [P, C]  (all q rows)
-    cosT = jax.lax.dot_general(
+    cos_t = jax.lax.dot_general(
         t, o, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)        # [Sp, P(q)]
-    cd = 0.5 - 0.5 * cosT
-    m = m_ref[0][None, :]                          # [1, P(q)]
-    z = z_ref[0][None, :]
-    dz = dz_ref[0][None, :]
+    cd = 0.5 - 0.5 * cos_t
+    m = m_ref[0]                                   # [1, P(q)]
+    z = z_ref[0]
+    dz = dz_ref[0]
     dk = dk_ref[0, 0]
     be = jnp.exp(2.0 - 2.0 * (cd / (m + _EPS)))
     qiot = jax.lax.broadcasted_iota(jnp.int32, cd.shape, 1)
-    hit = qiot == qstar_ref[0, 0][:, None]         # [Sp, P(q)]
+    hit = qiot == qstar_ref[0]                     # [Sp,P] vs [Sp,1]
     b_cot = jnp.where(hit, dk / z, 0.0) + dz
-    dcosT = be * b_cot / (m + _EPS)
+    dcos_t = be * b_cot / (m + _EPS)
     dt_ref[0] = jax.lax.dot_general(
-        dcosT, o, dimension_numbers=(((1,), (0,)), ((), ())),
+        dcos_t, o, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dt_ref.dtype)
 
 
 def _mrf_backward(o, t, m, z, dz, q_star, dk, interpret: bool = False):
-    """Dense cotangent parts: returns (do, dt, dm), do/dt [N,P,C] in the
-    input dtype, dm [N,P] f32."""
+    """Dense cotangent parts.  m/z/dz: [N,P,1]; q_star: [N,1,P];
+    dk: [N,1].  Returns (do [N,P,C], dt [N,P,C], dm [N,P,1])."""
     n, p_len, c = o.shape
     sq = _sq()
     n_strips = p_len // sq
     strip_spec = pl.BlockSpec((1, sq, c), lambda i, j: (i, j, 0))
     full_spec = pl.BlockSpec((1, p_len, c), lambda i, j: (i, 0, 0))
-    rowb_spec = pl.BlockSpec((1, 1, sq), lambda i, j: (i, j, 0))
-    colb_spec = pl.BlockSpec((1, p_len), lambda i, j: (i, 0))
+    rowb_spec = pl.BlockSpec((1, sq, 1), lambda i, j: (i, j, 0))
+    rowfull_spec = pl.BlockSpec((1, p_len, 1), lambda i, j: (i, 0, 0))
+    colb_spec = pl.BlockSpec((1, 1, p_len), lambda i, j: (i, 0, 0))
     dk_spec = pl.BlockSpec((1, 1), lambda i, j: (i, 0),
                            memory_space=pltpu.SMEM)
-    m3 = m.reshape(n, n_strips, sq)
-    z3 = z.reshape(n, n_strips, sq)
-    dz3 = dz.reshape(n, n_strips, sq)
     do, dm = pl.pallas_call(
         functools.partial(_bwd_do_kernel, sq),
         out_shape=[jax.ShapeDtypeStruct((n, p_len, c), o.dtype),
-                   jax.ShapeDtypeStruct((n, n_strips, sq), jnp.float32)],
+                   jax.ShapeDtypeStruct((n, p_len, 1), jnp.float32)],
         grid=(n, n_strips),
         in_specs=[strip_spec, full_spec, rowb_spec, rowb_spec, rowb_spec,
                   colb_spec, dk_spec],
@@ -236,9 +229,13 @@ def _mrf_backward(o, t, m, z, dz, q_star, dk, interpret: bool = False):
             bytes_accessed=2 * n * p_len * c * o.dtype.itemsize,
             transcendentals=n * p_len * p_len),
         interpret=interpret,
-    )(o, t, m3, z3, dz3, q_star, dk)
-    # dt-kernel: p-strips; the q-side stats ride whole-[P] blocks
-    qsb = q_star.reshape(n, n_strips, sq)
+    )(o, t, m, z, dz, q_star, dk)
+    # dt-kernel: p-strips; the q-side (column) stats ride whole-[1,P]
+    # blocks, the p-side q_star rides [Sq,1] strips
+    m_c = m.reshape(n, 1, p_len)
+    z_c = z.reshape(n, 1, p_len)
+    dz_c = dz.reshape(n, 1, p_len)
+    qs_r = q_star.reshape(n, p_len, 1)
     dt = pl.pallas_call(
         functools.partial(_bwd_dt_kernel, sq),
         out_shape=jax.ShapeDtypeStruct((n, p_len, c), t.dtype),
@@ -251,8 +248,8 @@ def _mrf_backward(o, t, m, z, dz, q_star, dk, interpret: bool = False):
             bytes_accessed=2 * n * p_len * c * t.dtype.itemsize,
             transcendentals=n * p_len * p_len),
         interpret=interpret,
-    )(t, o, m, z, dz, qsb, dk)
-    return do, dt, dm.reshape(n, p_len)
+    )(t, o, m_c, z_c, dz_c, qs_r, dk)
+    return do, dt, dm
 
 
 # --------------------------------------------------------------------------
@@ -267,14 +264,14 @@ def _interpret() -> bool:
 def mrf_core(o_n, t_n):
     """sum_n -log(mean_p max_q cs[q,p]) for normalized features [N,P,C]."""
     _, _, _, k, _ = _mrf_forward_stats(o_n, t_n, interpret=_interpret())
-    div = jnp.mean(k, axis=1)
+    div = jnp.mean(k[:, 0, :], axis=1)
     return jnp.sum(-jnp.log(div))
 
 
 def _mrf_core_fwd(o_n, t_n):
     m, z, p_star, k, q_star = _mrf_forward_stats(
         o_n, t_n, interpret=_interpret())
-    div = jnp.mean(k, axis=1)
+    div = jnp.mean(k[:, 0, :], axis=1)
     loss = jnp.sum(-jnp.log(div))
     return loss, (o_n, t_n, m, z, p_star, k, q_star, div)
 
@@ -286,18 +283,20 @@ def _mrf_core_bwd(res, g):
     # dZ via segment-sum of K over argmax rows (vmapped scatter-add)
     sum_kq = jax.vmap(
         lambda qs, kk: jnp.zeros((p_len,), jnp.float32).at[qs].add(kk)
-    )(q_star, k)
-    dz = -dk * sum_kq / z
+    )(q_star[:, 0, :], k[:, 0, :])
+    dz = (-dk * sum_kq / z[:, :, 0])[:, :, None]             # [N,P,1]
     do, dt, dm = _mrf_backward(o_n, t_n, m, z, dz, q_star, dk,
                                interpret=_interpret())
     # rank-1 argmin corrections: dcos[q, p*[q]] += -dm[q]/2
-    coef = (-0.5 * dm).astype(jnp.float32)                   # [N,P]
+    coef = (-0.5 * dm[:, :, 0]).astype(jnp.float32)          # [N,P]
+    ps = p_star[:, :, 0]
     t_at_pstar = jnp.take_along_axis(
-        t_n.astype(jnp.float32), p_star[:, :, None], axis=1)  # [N,P,C]
+        t_n.astype(jnp.float32), ps[:, :, None], axis=1)     # [N,P,C]
     do = do.astype(jnp.float32) + coef[:, :, None] * t_at_pstar
     dt_sc = jax.vmap(
-        lambda ps, vals: jnp.zeros((p_len, c), jnp.float32).at[ps].add(vals)
-    )(p_star, coef[:, :, None] * o_n.astype(jnp.float32))
+        lambda pss, vals: jnp.zeros((p_len, c), jnp.float32).at[pss].add(
+            vals)
+    )(ps, coef[:, :, None] * o_n.astype(jnp.float32))
     dt = dt.astype(jnp.float32) + dt_sc
     return do.astype(o_n.dtype), dt.astype(t_n.dtype)
 
