@@ -21,9 +21,13 @@ _DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
                                  ("NHWC", "HWIO", "NHWC"))
 
 
-def gaussian_window(size: int = 11, sigma: float = 1.5):
+def gaussian_1d(size: int = 11, sigma: float = 1.5):
     g = jnp.exp(-jnp.square(jnp.arange(size) - size // 2) / (2.0 * sigma ** 2))
-    g = g / jnp.sum(g)
+    return g / jnp.sum(g)
+
+
+def gaussian_window(size: int = 11, sigma: float = 1.5):
+    g = gaussian_1d(size, sigma)
     return jnp.outer(g, g)
 
 
@@ -34,6 +38,14 @@ def _depthwise(x, win):
     return lax.conv_general_dilated(
         x, k.astype(x.dtype), (1, 1), "VALID", dimension_numbers=_DN,
         feature_group_count=c)
+
+
+def _depthwise_sep(x, g):
+    """Separable VALID gaussian: two 1-D depthwise convs (2k taps) instead
+    of the k x k outer-product conv (k^2 taps) — same result up to fp
+    reassociation (the reference's window IS outer(g, g))."""
+    x = _depthwise(x, g[:, None])
+    return _depthwise(x, g[None, :])
 
 
 def _pack_lanes(x):
@@ -59,16 +71,16 @@ def ssim(img1, img2, window_size: int = 11, val_range=None, full: bool = False):
         L = val_range
     _, h, w, _ = img1.shape
     real_size = min(window_size, h, w)
-    win = gaussian_window(real_size).astype(img1.dtype)
+    g = gaussian_1d(real_size).astype(img1.dtype)
 
     img1 = _pack_lanes(img1)
     img2 = _pack_lanes(img2)
-    mu1 = _depthwise(img1, win)
-    mu2 = _depthwise(img2, win)
+    mu1 = _depthwise_sep(img1, g)
+    mu2 = _depthwise_sep(img2, g)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _depthwise(img1 * img1, win) - mu1_sq
-    sigma2_sq = _depthwise(img2 * img2, win) - mu2_sq
-    sigma12 = _depthwise(img1 * img2, win) - mu1_mu2
+    sigma1_sq = _depthwise_sep(img1 * img1, g) - mu1_sq
+    sigma2_sq = _depthwise_sep(img2 * img2, g) - mu2_sq
+    sigma12 = _depthwise_sep(img1 * img2, g) - mu1_mu2
 
     C1 = (0.01 * L) ** 2
     C2 = (0.03 * L) ** 2
