@@ -126,11 +126,15 @@ def main():
         "unit": "img/s",
         "vs_baseline": round(img_s / TORCH_CPU_BASELINE_IMG_S, 2),
     }))
+    from cfen_vit_tpu.ops import phase_space as _PH
     print(f"# device={kind} batch={args.batch} "
           f"dtype={args.dtype} compile={compile_s:.1f}s "
           f"steady={dt / args.iters * 1000:.1f}ms/step "
           f"flops/img={flops / args.batch / 1e9:.1f}G "
-          + mfu_line(flops, dt / args.iters), file=sys.stderr)
+          + mfu_line(flops, dt / args.iters)
+          + f" phase={int(_PH.use_phase_space(args.batch, trunk_ok=True))}"
+          f" trunk={int(_PH.use_phase_trunk(args.batch))}",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":
