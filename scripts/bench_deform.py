@@ -1,0 +1,101 @@
+"""Device benchmark for the XLA-gather deformable conv (VERDICT r3 #6).
+
+BASELINE.json's north star names "a Pallas gather-conv custom-call" as the
+replacement for the reference's CUDA extension
+(/root/reference/dcn/src/deform_conv_cuda_kernel.cu:190-373). The repo's
+earned policy is measure-before-kernel: this script produces the number
+that either justifies keeping the XLA gather form (ops/deform_conv.py) or
+motivates writing the Pallas kernel.
+
+For each geometry it times the jitted DCNv2 forward and forward+backward
+(all 5 grads: x, offset, mask, w, b) and reports achieved GFLOP/s against
+the pure-GEMM FLOP count (2*N*OH*OW*K^2*C*O — the useful work; gather and
+bilinear arithmetic are overhead), i.e. an "effective MFU" for the op.
+
+Usage: python scripts/bench_deform.py [--iters 30] [--dtype bfloat16]
+Prints one JSON line per geometry.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+GEOMETRIES = [
+    # (batch, H, W, Cin, Cout, kernel) — DCN papers / mmcv put DCNv2 in
+    # backbone stages: mid-resolution, 64-256 channels. The 512px rows
+    # bracket what plugging DCN into this repo's level-2/3 trunk would do.
+    (8, 128, 128, 64, 64, 3),
+    (8, 64, 64, 128, 128, 3),
+    (8, 32, 32, 256, 256, 3),
+    (4, 256, 256, 48, 48, 3),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cfen_vit_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
+    from cfen_vit_tpu.ops.deform_conv import modulated_deform_conv
+    from cfen_vit_tpu.utils.profiling import device_peak_flops
+
+    dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    peak = device_peak_flops() or float("nan")
+
+    for (n, h, w, cin, cout, k) in GEOMETRIES:
+        r = np.random.RandomState(0)
+        x = jnp.asarray(r.randn(n, h, w, cin), dt)
+        # modest offsets (like a trained conv_offset_mask predicts)
+        off = jnp.asarray(r.randn(n, h, w, 2 * k * k) * 2.0, dt)
+        mask = jnp.asarray(r.rand(n, h, w, k * k), dt)
+        wt = jnp.asarray(r.randn(k, k, cin, cout) * 0.05, dt)
+        b = jnp.zeros((cout,), dt)
+
+        fwd = jax.jit(lambda x, o, m, w, b: modulated_deform_conv(
+            x, o, m, w, b, 1, 1, 1))
+
+        def loss(x, o, m, w, b):
+            return jnp.sum(modulated_deform_conv(
+                x, o, m, w, b, 1, 1, 1).astype(jnp.float32) ** 2)
+
+        grad = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+
+        def timeit(fn, *a):
+            out = fn(*a)
+            jax.block_until_ready(out)
+            t0 = time.time()
+            for _ in range(args.iters):
+                out = fn(*a)
+            jax.block_until_ready(out)
+            return (time.time() - t0) / args.iters
+
+        t_fwd = timeit(fwd, x, off, mask, wt, b)
+        t_bwd = timeit(grad, x, off, mask, wt, b)
+        gemm_flops = 2.0 * n * h * w * k * k * cin * cout
+        print(json.dumps({
+            "geometry": f"{n}x{h}x{w}x{cin}->{cout} k{k}",
+            "dtype": args.dtype,
+            "fwd_ms": round(t_fwd * 1e3, 3),
+            "fwd_bwd_ms": round(t_bwd * 1e3, 3),
+            "gemm_gflops": round(gemm_flops / 1e9, 2),
+            "fwd_eff_gflops": round(gemm_flops / t_fwd / 1e9, 1),
+            "fwd_eff_mfu_pct": round(100 * gemm_flops / t_fwd / peak, 2),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -76,6 +76,11 @@ def main():
                 lat.append(e2e)
                 hdrs.append(hdr)
 
+    def healthz():
+        with urllib.request.urlopen(f"{args.url}/healthz", timeout=60) as r:
+            return json.loads(r.read())
+
+    h0 = healthz()
     t0 = time.perf_counter()
     ts = [threading.Thread(target=worker) for _ in range(args.clients)]
     for t in ts:
@@ -83,6 +88,13 @@ def main():
     for t in ts:
         t.join()
     wall = time.perf_counter() - t0
+    h1 = healthz()
+    # Device-side capacity over the concurrent window (VERDICT r3 #7):
+    # what fraction of the window the chip was busy, and the req/s a
+    # colocated (relay-free) client could extract at this batching shape.
+    dev_s = h1.get("device_s_total", 0) - h0.get("device_s_total", 0)
+    dev_reqs = (h1.get("batched_reqs_total", 0)
+                - h0.get("batched_reqs_total", 0))
 
     n = len(lat)
     print(json.dumps({
@@ -97,6 +109,8 @@ def main():
             for k in ("X-Decode-Ms", "X-Model-Ms", "X-Encode-Ms")},
         "concurrent_model_ms": _percentiles(
             [h["X-Model-Ms"] for h in hdrs]),
+        "device_util_pct_window": round(100 * dev_s / max(wall, 1e-9), 2),
+        "device_req_s_ceiling": round(dev_reqs / dev_s, 2) if dev_s else None,
     }))
 
 

@@ -102,7 +102,7 @@ class Stats:
 
     def __init__(self):
         self._lock = threading.Lock()
-        self._d = {}
+        self._d = {"t0": time.perf_counter()}  # uptime origin (/healthz)
 
     def add(self, key, delta):
         with self._lock:
@@ -283,6 +283,12 @@ def make_handler(cfg, model, size, stats, max_batch: int = 4,
 
         def do_GET(self):
             if self.path.startswith("/healthz"):
+                # Device-side capacity accounting (VERDICT r3 #7): the
+                # relay bounds end-to-end throughput, so publish what the
+                # CHIP could do colocated — busy fraction and the implied
+                # req/s ceiling at the observed batching shape.
+                uptime = time.perf_counter() - stats.get("t0", 0.0)
+                dev_t = stats.get("dev_t", 0.0)
                 self._json(200, {"status": "ok", "model": cfg.model_G,
                                  "input_size": size,
                                  "requests": stats.get("n", 0),
@@ -292,9 +298,18 @@ def make_handler(cfg, model, size, stats, max_batch: int = 4,
                                      stats.get("t", 0.0)
                                      / max(stats.get("n", 0), 1) * 1e3, 2),
                                  "mean_device_ms_per_batch": round(
-                                     stats.get("dev_t", 0.0)
+                                     dev_t
                                      / max(stats.get("batches", 0), 1)
-                                     * 1e3, 2)})
+                                     * 1e3, 2),
+                                 "uptime_s": round(uptime, 1),
+                                 "device_s_total": round(dev_t, 3),
+                                 "batched_reqs_total":
+                                     stats.get("batched_reqs", 0),
+                                 "device_util_pct": round(
+                                     100.0 * dev_t / max(uptime, 1e-9), 2),
+                                 "device_req_s_ceiling": round(
+                                     stats.get("batched_reqs", 0)
+                                     / max(dev_t, 1e-9), 2)})
             else:
                 self._json(404, {"error": "unknown path"})
 

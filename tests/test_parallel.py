@@ -93,6 +93,79 @@ def test_dp_train_step_matches_single_device(rng, tmp_path):
             k, l1[k], l8[k])
 
 
+def test_dp_trunk_forced_forward_matches_single_device(rng, monkeypatch):
+    """VERDICT r3 #4: the production dispatch path — the phase TRUNK —
+    auto-gates OFF on CPU, so without forcing it no multi-device test ever
+    runs the ops real multi-chip TPUs execute.  Force it and pin 8-way DP
+    equivalence of the trunk forward."""
+    monkeypatch.setenv("CFEN_PHASE_SPACE", "1")
+    monkeypatch.setenv("CFEN_PHASE_TRUNK", "1")
+    from dataclasses import replace
+    from cfen_vit_tpu.ops import phase_space as PH
+    from cfen_vit_tpu.models.registry import generator_spec
+    from cfen_vit_tpu.models.generator import (generator_init,
+                                               generator_forward,
+                                               phase_trunk_supported)
+    from cfen_vit_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+
+    spec = replace(generator_spec("iid_hlgvit_crs_gd4_cfs_v3"), n_feats=8,
+                   load_size=64, patch_size=8, num_heads=2,
+                   hidden_dim_ratio=2)
+    # the force must engage on CPU (that is the point of the test)
+    assert phase_trunk_supported(spec)
+    assert PH.use_phase_space(1, trunk_ok=True) and PH.use_phase_trunk(1)
+
+    params = generator_init(jax.random.PRNGKey(0), spec)
+    x = rng.randn(8, 128, 128, 3).astype(np.float32)
+    fwd = jax.jit(lambda p, xx: generator_forward(p, spec, xx))
+    ref = fwd(params, jnp.asarray(x))
+
+    mesh = make_mesh()
+    got = fwd(replicate(mesh, params), shard_batch(mesh, {"x": x})["x"])
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   atol=2e-4)
+
+
+def test_dp_trunk_forced_train_step_matches_single_device(
+        rng, tmp_path, monkeypatch):
+    """Same coverage for the full jitted GAN step: phase-trunk ops under a
+    sharded batch axis (grads psum-reduced through the s2d forms) must
+    match the single-device step."""
+    monkeypatch.setenv("CFEN_PHASE_SPACE", "1")
+    monkeypatch.setenv("CFEN_PHASE_TRUNK", "1")
+    from cfen_vit_tpu.config import Config
+    from cfen_vit_tpu.train.trainer import GanTrainer
+
+    def batch():
+        r = np.random.RandomState(13)
+        return {
+            "B": r.rand(8, 128, 128, 3).astype(np.float32) * 2 - 1,
+            "A": r.rand(8, 128, 128, 3).astype(np.float32) * 2 - 1,
+            "R": r.rand(8, 128, 128, 3).astype(np.float32) * 2 - 1,
+            "S": r.rand(8, 128, 128, 1).astype(np.float32) * 2 - 1,
+            "B_paths": [f"{i}.png" for i in range(8)],
+        }
+
+    def run(mesh_shape):
+        cfg = Config(dataroot=str(tmp_path), name=f"pt{mesh_shape}",
+                     isTrain=True, checkpoints_dir=str(tmp_path / "c"),
+                     n_feats=8, loadSize=64, patch_size=8, num_heads=2,
+                     hidden_dim_ratio=2, batchSize=8, pool_size=2,
+                     mesh_shape=mesh_shape, sb=True, remat=False)
+        tr = GanTrainer(cfg)
+        tr.setup(cfg)
+        tr.set_input(batch())
+        tr.optimize_parameters(cfg)
+        return tr.get_current_losses()
+
+    l1 = run("1")
+    l8 = run("8")
+    for k in l1:
+        assert abs(l1[k] - l8[k]) < 5e-3 * max(1.0, abs(l1[k])), (
+            k, l1[k], l8[k])
+
+
 @pytest.mark.nightly
 def test_dp_train_step_canonical_geometry(rng, tmp_path):
     """VERDICT r2 #8: sharded-vs-single train-step parity at the shapes
