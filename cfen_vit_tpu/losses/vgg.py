@@ -90,6 +90,33 @@ def weights_from_torch_vgg(state_dict) -> Dict[str, np.ndarray]:
     return out
 
 
+def _vgg_ps() -> bool:
+    """CFEN_VGG_PS=1 routes conv1_1 through the phase-space form (=0 off;
+    default off pending on-device measurement — repo dispatch discipline).
+
+    Why: the r3b train profile put the VGG towers at ~10% of GAN-step
+    device time with the FIRST conv lane-starved — its input is the
+    full-res [B,512,512,3] C<sublane band, the exact geometry whose XLA
+    layout flipped to batch-sublane at b>=8 and motivated ops/phase_space
+    (BASELINE.md r3).  conv1_1 is 0.9 GFLOP/img, so the time is layout,
+    not math: computing it as the exact s2d phase conv (cin 12, K=3 cells,
+    3.7 GFLOP/img — noise on the MXU) keeps the starved band out of the
+    conv entirely.  Only conv1_1 converts; deeper layers have >=64
+    channels and healthy layouts, and a full s2d tower would 4x their
+    ~136 GFLOP/img."""
+    return os.environ.get("CFEN_VGG_PS", "0") == "1"
+
+
+def _conv1_1_ps(p, x):
+    """conv1_1 + bias via the s2d phase form; exact (expand_s1 zero-pad
+    semantics) — returns the full-res [N,H,W,64] pre-ReLU activations."""
+    from ..ops import phase_space as PH
+    xs = PH.space_to_depth(x)
+    w_ps = PH.expand_s1(p["w"])                    # [3,3,12,256]
+    y = PH.conv_ps(xs, w_ps, 1) + PH.tile4(p["b"]).astype(x.dtype)
+    return PH.depth_to_space(y)
+
+
 def vgg19_features(params, x, taps: Tuple[str, ...],
                    subtract_mean: bool = False) -> Dict[str, jnp.ndarray]:
     """x: NHWC.  taps name the ReLU after a conv, e.g. 'relu3_1'.
@@ -99,13 +126,18 @@ def vgg19_features(params, x, taps: Tuple[str, ...],
         x = x - jnp.asarray(_IMAGENET_MEAN, x.dtype)
     want = set(taps)
     feats = {}
+    use_ps = (_vgg_ps() and x.ndim == 4
+              and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
     for bi, (ch, n) in enumerate(_VGG19_BLOCKS, start=1):
         if bi > 1:
             x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
                                       (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
         for ci in range(1, n + 1):
             name = f"conv{bi}_{ci}"
-            x = N.relu(N.conv2d(params[name], x, padding=1))
+            if bi == 1 and ci == 1 and use_ps:
+                x = N.relu(_conv1_1_ps(params[name], x))
+            else:
+                x = N.relu(N.conv2d(params[name], x, padding=1))
             tap = f"relu{bi}_{ci}"
             if tap in want:
                 feats[tap] = x

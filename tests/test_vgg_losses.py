@@ -237,3 +237,48 @@ def test_weights_from_torch_vgg_converter_golden(rng, tmp_path):
         ref = torch_taps[idx].numpy().transpose(0, 2, 3, 1)
         np.testing.assert_allclose(np.asarray(ours[name]), ref, atol=2e-4,
                                    err_msg=name)
+
+
+def test_vgg_ps_conv1_exact(vgg_pair, rng, monkeypatch):
+    """CFEN_VGG_PS=1 (conv1_1 via the s2d phase form) must be exact vs the
+    plain tower — values of every tap the losses use, and the loss grads
+    that reach the generator (VERDICT r3 #3 candidate; measured on device
+    before any auto-gate flips)."""
+    from cfen_vit_tpu.losses import vgg as V
+    params, _ = vgg_pair
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1)
+    y = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1)
+
+    def all_losses(xx):
+        return (V.vgg_perceptual_loss(params, xx, y)
+                + V.semantic_consistency_loss(params, xx, y)
+                + V.idmrf_loss(params, xx, y))
+
+    monkeypatch.delenv("CFEN_VGG_PS", raising=False)
+    ref_taps = V.vgg19_features(params, x,
+                                ("relu1_1", "relu2_1", "relu3_1", "relu4_1"))
+    ref_l, ref_g = jax.jit(jax.value_and_grad(all_losses))(x)
+
+    monkeypatch.setenv("CFEN_VGG_PS", "1")
+    got_taps = V.vgg19_features(params, x,
+                                ("relu1_1", "relu2_1", "relu3_1", "relu4_1"))
+    got_l, got_g = jax.jit(jax.value_and_grad(all_losses))(x)
+
+    for t in ref_taps:
+        np.testing.assert_allclose(np.asarray(got_taps[t]),
+                                   np.asarray(ref_taps[t]),
+                                   atol=2e-5, rtol=1e-5)
+    assert abs(float(got_l) - float(ref_l)) < 1e-3 * max(1, abs(float(ref_l)))
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                               atol=5e-4, rtol=5e-3)
+
+
+def test_vgg_ps_odd_size_falls_back(vgg_pair, rng, monkeypatch):
+    """Odd spatial sizes can't s2d; the flag must silently use the plain
+    conv (serving accepts arbitrary sizes pre-resize)."""
+    from cfen_vit_tpu.losses import vgg as V
+    params, _ = vgg_pair
+    monkeypatch.setenv("CFEN_VGG_PS", "1")
+    x = jnp.asarray(rng.rand(1, 63, 65, 3).astype(np.float32))
+    f = V.vgg19_features(params, x, ("relu1_1",))
+    assert f["relu1_1"].shape == (1, 63, 65, 64)
