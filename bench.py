@@ -161,17 +161,21 @@ def main():
         fwd = jax.jit(lambda p, xx: generator_forward(p, spec, xx))
     compiled = fwd.lower(params, x).compile()
     flops = float(compiled.cost_analysis().get("flops", 0.0))
-    t0 = time.time()
+    t0 = time.perf_counter()
     out = fwd(params, x)
     jax.block_until_ready(out)
-    compile_s = time.time() - t0
+    compile_s = time.perf_counter() - t0
 
-    # steady state
-    t0 = time.time()
-    for _ in range(args.iters):
-        out = fwd(params, x)
-    jax.block_until_ready(out)
-    dt = time.time() - t0
+    # steady state: median of 3 windows on the monotonic clock (a wall
+    # clock step once yielded a 14,000 img/s artifact at b12 — r4 ladder)
+    windows = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fwd(params, x)
+        jax.block_until_ready(out)
+        windows.append(time.perf_counter() - t0)
+    dt = sorted(windows)[1]
     img_s = args.batch * args.iters / dt
 
     watchdog.cancel()

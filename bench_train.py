@@ -66,16 +66,21 @@ def main():
         "B_paths": [f"{i}.png" for i in range(args.batch)],
     }
     tr.set_input(batch)
-    t0 = time.time()
+    t0 = time.perf_counter()
     tr.optimize_parameters(cfg)           # init + compile + first step
-    compile_s = time.time() - t0
+    compile_s = time.perf_counter() - t0
 
-    t0 = time.time()
-    for _ in range(args.iters):
-        tr.set_input(batch)
-        tr.optimize_parameters(cfg)
-    float(tr.get_current_losses()["G"])   # sync
-    dt = (time.time() - t0) / args.iters
+    # median of 3 windows on the monotonic clock (see bench.py: a wall
+    # clock step once produced an impossible img/s reading mid-ladder)
+    windows = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            tr.set_input(batch)
+            tr.optimize_parameters(cfg)
+        float(tr.get_current_losses()["G"])   # sync
+        windows.append((time.perf_counter() - t0) / args.iters)
+    dt = sorted(windows)[1]
 
     # train-step roofline (VERDICT r1 #6): cost-analysis FLOPs of the one
     # jitted GAN step (G fwd+bwd, 3 VGG towers, IDMRF, 3 Ds fwd+bwd, Adam)

@@ -167,7 +167,7 @@ def _bwd_do_kernel(sq: int, o_ref, t_ref, m_ref, z_ref, dz_ref, qstar_ref,
     m = m_ref[0]                                   # [Sq, 1]
     z = z_ref[0]
     dz = dz_ref[0]
-    dk = dk_ref[0, 0]
+    dk = dk_ref[0, 0, 0]
     be = jnp.exp(2.0 - 2.0 * (cd / (m + _EPS)))
     riot = jax.lax.broadcasted_iota(jnp.int32, cd.shape, 0) + qs * sq
     hit = riot == qstar_ref[0]                     # [Sq,P] vs [1,P]
@@ -192,7 +192,7 @@ def _bwd_dt_kernel(sp: int, t_ref, o_ref, m_ref, z_ref, dz_ref, qstar_ref,
     m = m_ref[0]                                   # [1, P(q)]
     z = z_ref[0]
     dz = dz_ref[0]
-    dk = dk_ref[0, 0]
+    dk = dk_ref[0, 0, 0]
     be = jnp.exp(2.0 - 2.0 * (cd / (m + _EPS)))
     qiot = jax.lax.broadcasted_iota(jnp.int32, cd.shape, 1)
     hit = qiot == qstar_ref[0]                     # [Sp,P] vs [Sp,1]
@@ -205,7 +205,7 @@ def _bwd_dt_kernel(sp: int, t_ref, o_ref, m_ref, z_ref, dz_ref, qstar_ref,
 
 def _mrf_backward(o, t, m, z, dz, q_star, dk, interpret: bool = False):
     """Dense cotangent parts.  m/z/dz: [N,P,1]; q_star: [N,1,P];
-    dk: [N,1].  Returns (do [N,P,C], dt [N,P,C], dm [N,P,1])."""
+    dk: [N,1,1].  Returns (do [N,P,C], dt [N,P,C], dm [N,P,1])."""
     n, p_len, c = o.shape
     sq = _sq()
     n_strips = p_len // sq
@@ -214,7 +214,12 @@ def _mrf_backward(o, t, m, z, dz, q_star, dk, interpret: bool = False):
     rowb_spec = pl.BlockSpec((1, sq, 1), lambda i, j: (i, j, 0))
     rowfull_spec = pl.BlockSpec((1, p_len, 1), lambda i, j: (i, 0, 0))
     colb_spec = pl.BlockSpec((1, 1, p_len), lambda i, j: (i, 0, 0))
-    dk_spec = pl.BlockSpec((1, 1), lambda i, j: (i, 0),
+    # Mosaic's block-mapping check requires the last two block dims to be
+    # (8,128)-divisible OR equal to the array's — a (1,1) block of an [N,1]
+    # array fails the sublane leg even in SMEM (measured on device, r4
+    # ladder).  A trailing unit dim makes the block's last two dims equal
+    # to the array's: [N,1,1] blocked (1,1,1).
+    dk_spec = pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0),
                            memory_space=pltpu.SMEM)
     do, dm = pl.pallas_call(
         functools.partial(_bwd_do_kernel, sq),
@@ -285,8 +290,8 @@ def _mrf_core_bwd(res, g):
         lambda qs, kk: jnp.zeros((p_len,), jnp.float32).at[qs].add(kk)
     )(q_star[:, 0, :], k[:, 0, :])
     dz = (-dk * sum_kq / z[:, :, 0])[:, :, None]             # [N,P,1]
-    do, dt, dm = _mrf_backward(o_n, t_n, m, z, dz, q_star, dk,
-                               interpret=_interpret())
+    do, dt, dm = _mrf_backward(o_n, t_n, m, z, dz, q_star,
+                               dk[:, :, None], interpret=_interpret())
     # rank-1 argmin corrections: dcos[q, p*[q]] += -dm[q]/2
     coef = (-0.5 * dm[:, :, 0]).astype(jnp.float32)          # [N,P]
     ps = p_star[:, :, 0]
