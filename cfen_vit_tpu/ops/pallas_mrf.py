@@ -63,6 +63,24 @@ except ImportError:  # pragma: no cover
 
 _EPS = 1e-5
 
+# XLA's default scoped-vmem budget is 16 MB and the resident [1, P, C]
+# t-operand block (16384x256 bf16 = 8 MB) is double-buffered by Mosaic, so
+# the kernels need ~16 MB + the SQ-dependent strips (r4 device ladder: OOM
+# by 48K..384K at SQ=16..128).  v5e has 128 MB of physical VMEM; raise the
+# per-kernel limit instead of restructuring — the t block is resident by
+# design (each q-strip dots against ALL of t).
+_VMEM_LIMIT = 96 * 1024 * 1024
+
+
+def _compiler_params(grid_dims: int):
+    if not _HAS_PALLAS:  # pragma: no cover
+        return None
+    # dim 0 (batch) is parallel; dim 1 (strips) accumulates the column
+    # running-max in the forward kernel, so mark it arbitrary everywhere.
+    sem = ("parallel",) * (grid_dims - 1) + ("arbitrary",)
+    return pltpu.CompilerParams(
+        dimension_semantics=sem, vmem_limit_bytes=_VMEM_LIMIT)
+
 
 def _sq() -> int:
     """q-strip rows (CFEN_MRF_SQ; default 32: a [32, 16384] f32 strip is
@@ -144,6 +162,7 @@ def _mrf_forward_stats(o, t, interpret: bool = False):
             flops=2 * n * p_len * p_len * c,
             bytes_accessed=2 * n * p_len * c * o.dtype.itemsize,
             transcendentals=n * p_len * p_len),
+        compiler_params=_compiler_params(2),
         interpret=interpret,
     )(o, t)
 
@@ -233,6 +252,7 @@ def _mrf_backward(o, t, m, z, dz, q_star, dk, interpret: bool = False):
             flops=4 * n * p_len * p_len * c,
             bytes_accessed=2 * n * p_len * c * o.dtype.itemsize,
             transcendentals=n * p_len * p_len),
+        compiler_params=_compiler_params(2),
         interpret=interpret,
     )(o, t, m, z, dz, q_star, dk)
     # dt-kernel: p-strips; the q-side (column) stats ride whole-[1,P]
@@ -252,6 +272,7 @@ def _mrf_backward(o, t, m, z, dz, q_star, dk, interpret: bool = False):
             flops=4 * n * p_len * p_len * c,
             bytes_accessed=2 * n * p_len * c * t.dtype.itemsize,
             transcendentals=n * p_len * p_len),
+        compiler_params=_compiler_params(2),
         interpret=interpret,
     )(t, o, m_c, z_c, dz_c, qs_r, dk)
     return do, dt, dm
