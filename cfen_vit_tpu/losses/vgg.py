@@ -194,7 +194,14 @@ def _mrf_rows(o_rows, t_n):
                      preferred_element_type=jnp.float32)
     # conv output layout is [HW_t filters, spatial HW_o] => dim1 of the
     # reference's cdist is the t-patch axis; relative-dist mins over it.
-    cdist = -(cos - 1.0) / 2.0
+    # The clamp is a no-op in exact arithmetic (cos <= 1 for unit rows) but
+    # load-bearing under bf16: unit-normalization error (~2^-8) can push
+    # cos past 1, making min(cdist) + 1e-5 NEGATIVE, so rel flips sign and
+    # exp((1-rel)/0.5) overflows -> inf/inf = nan.  Measured: the r4 device
+    # trace went p=nan at step 16 (trace_train_losses.py); the f32-only
+    # reference (consistency.py:58-66) never trips this because f32
+    # normalization error is ~1e-7.
+    cdist = jnp.maximum(-(cos - 1.0) / 2.0, 0.0)
     rel = cdist / (jnp.min(cdist, axis=2, keepdims=True) + 1e-5)
     before = jnp.exp((1.0 - rel) / 0.5)
     if _mrf_bf16():

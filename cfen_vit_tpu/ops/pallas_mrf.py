@@ -83,13 +83,14 @@ def _compiler_params(grid_dims: int):
 
 
 def _sq() -> int:
-    """q-strip rows (CFEN_MRF_SQ; default 32: a [32, 16384] f32 strip is
-    2 MB VMEM, leaving room for the resident [P, C] operand and Mosaic's
-    elementwise temporaries in the ~16 MB budget)."""
+    """q-strip rows (CFEN_MRF_SQ).  Default 128 — the r4 device sweep's
+    best (v5e b8 512px GAN step: SQ=64 11.97, **128 12.66**, 256 12.23,
+    512 11.07 img/s); bigger strips amortize the resident-t reload less
+    than they bloat the [Sq, P] f32 temporaries."""
     try:
-        v = int(os.environ.get("CFEN_MRF_SQ", "") or 32)
+        v = int(os.environ.get("CFEN_MRF_SQ", "") or 128)
     except ValueError:  # pragma: no cover
-        v = 32
+        v = 128
     return max(8, v)
 
 
@@ -105,7 +106,10 @@ def _fw_kernel(sq: int, o_ref, t_ref, m_ref, z_ref, ps_ref,
     cos = jax.lax.dot_general(
         o, t, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)        # [Sq, P]
-    cd = 0.5 - 0.5 * cos
+    # clamp: no-op in exact math, load-bearing in bf16 (see losses/vgg.py
+    # _mrf_rows — cos > 1 from normalization roundoff makes m + eps
+    # negative and the exp overflows; r4 device trace: p=nan at step 16)
+    cd = jnp.maximum(0.5 - 0.5 * cos, 0.0)
     m = jnp.min(cd, axis=1, keepdims=True)         # [Sq, 1]
     piot = jax.lax.broadcasted_iota(jnp.int32, cd.shape, 1)
     p_star = jnp.min(jnp.where(cd == m, piot, jnp.int32(cd.shape[1])),
@@ -140,7 +144,7 @@ def _mrf_forward_stats(o, t, interpret: bool = False):
     """o, t: [N, P, C] -> (m, z, p_star, k, q_star) with m/z/p_star
     [N, P, 1] and k/q_star [N, 1, P]."""
     n, p_len, c = o.shape
-    sq = _sq()
+    sq = min(_sq(), p_len)   # direct callers may pass P < the default strip
     n_strips = p_len // sq
     o_spec = pl.BlockSpec((1, sq, c), lambda i, j: (i, j, 0))
     t_spec = pl.BlockSpec((1, p_len, c), lambda i, j: (i, 0, 0))
@@ -182,7 +186,8 @@ def _bwd_do_kernel(sq: int, o_ref, t_ref, m_ref, z_ref, dz_ref, qstar_ref,
     cos = jax.lax.dot_general(
         o, t, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)        # [Sq, P]
-    cd = 0.5 - 0.5 * cos
+    cd_raw = 0.5 - 0.5 * cos
+    cd = jnp.maximum(cd_raw, 0.0)                  # fwd-kernel clamp
     m = m_ref[0]                                   # [Sq, 1]
     z = z_ref[0]
     dz = dz_ref[0]
@@ -192,7 +197,8 @@ def _bwd_do_kernel(sq: int, o_ref, t_ref, m_ref, z_ref, dz_ref, qstar_ref,
     hit = riot == qstar_ref[0]                     # [Sq,P] vs [1,P]
     b_cot = jnp.where(hit, dk / z, 0.0) + dz
     beb = be * b_cot
-    dcos = beb / (m + _EPS)
+    # d cd/d cos vanishes where the clamp was active (cd_raw < 0)
+    dcos = jnp.where(cd_raw > 0, beb / (m + _EPS), 0.0)
     dm_ref[0] = (jnp.sum(2.0 * beb * cd, axis=1, keepdims=True)
                  / (m + _EPS) ** 2)
     do_ref[0] = jax.lax.dot_general(
@@ -207,7 +213,8 @@ def _bwd_dt_kernel(sp: int, t_ref, o_ref, m_ref, z_ref, dz_ref, qstar_ref,
     cos_t = jax.lax.dot_general(
         t, o, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)        # [Sp, P(q)]
-    cd = 0.5 - 0.5 * cos_t
+    cd_raw = 0.5 - 0.5 * cos_t
+    cd = jnp.maximum(cd_raw, 0.0)                  # fwd-kernel clamp
     m = m_ref[0]                                   # [1, P(q)]
     z = z_ref[0]
     dz = dz_ref[0]
@@ -216,7 +223,7 @@ def _bwd_dt_kernel(sp: int, t_ref, o_ref, m_ref, z_ref, dz_ref, qstar_ref,
     qiot = jax.lax.broadcasted_iota(jnp.int32, cd.shape, 1)
     hit = qiot == qstar_ref[0]                     # [Sp,P] vs [Sp,1]
     b_cot = jnp.where(hit, dk / z, 0.0) + dz
-    dcos_t = be * b_cot / (m + _EPS)
+    dcos_t = jnp.where(cd_raw > 0, be * b_cot / (m + _EPS), 0.0)
     dt_ref[0] = jax.lax.dot_general(
         dcos_t, o, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dt_ref.dtype)
@@ -226,7 +233,7 @@ def _mrf_backward(o, t, m, z, dz, q_star, dk, interpret: bool = False):
     """Dense cotangent parts.  m/z/dz: [N,P,1]; q_star: [N,1,P];
     dk: [N,1,1].  Returns (do [N,P,C], dt [N,P,C], dm [N,P,1])."""
     n, p_len, c = o.shape
-    sq = _sq()
+    sq = min(_sq(), p_len)
     n_strips = p_len // sq
     strip_spec = pl.BlockSpec((1, sq, c), lambda i, j: (i, j, 0))
     full_spec = pl.BlockSpec((1, p_len, c), lambda i, j: (i, 0, 0))
@@ -313,8 +320,12 @@ def _mrf_core_bwd(res, g):
     dz = (-dk * sum_kq / z[:, :, 0])[:, :, None]             # [N,P,1]
     do, dt, dm = _mrf_backward(o_n, t_n, m, z, dz, q_star,
                                dk[:, :, None], interpret=_interpret())
-    # rank-1 argmin corrections: dcos[q, p*[q]] += -dm[q]/2
-    coef = (-0.5 * dm[:, :, 0]).astype(jnp.float32)          # [N,P]
+    # rank-1 argmin corrections: dcos[q, p*[q]] += -dm[q]/2.  When the row
+    # min was produced by the clamp (m == 0 <=> some raw cd <= 0), d m/d cos
+    # is zero through max(cd, 0), so the correction is dropped — matching
+    # autodiff of the clamped dense path.
+    coef = jnp.where(m[:, :, 0] > 0,
+                     -0.5 * dm[:, :, 0], 0.0).astype(jnp.float32)  # [N,P]
     ps = p_star[:, :, 0]
     t_at_pstar = jnp.take_along_axis(
         t_n.astype(jnp.float32), ps[:, :, None], axis=1)     # [N,P,C]
@@ -340,15 +351,17 @@ def supported(p_len: int, c: int) -> bool:
 
 
 def use_pallas_mrf() -> bool:
-    """CFEN_PALLAS_MRF=1 forces, =0 disables; auto is currently OFF
-    pending the end-to-end on-device measurement (repo policy: a kernel
-    ships default-on only with a BASELINE.md number behind it — the XLA
-    scan it replaces measured ~35% of GAN-step device time at b8, r3b
-    train profile, so the expectation is a large win, but expectation is
-    not a measurement)."""
+    """CFEN_PALLAS_MRF=1 forces, =0 disables; auto is ON on TPU (the CPU
+    path would need interpret mode — the XLA scan wins there).  Measured
+    (r4 device ladder, v5e b8 512px GAN step, remat=branch): dense scan
+    10.7 img/s MFU 17.2% -> flash-MRF SQ=128 **12.66 img/s MFU 24.6%**
+    (+18%); IDMRF was ~35% of step device time in the r3b profile."""
     flag = os.environ.get("CFEN_PALLAS_MRF", "auto")
     if flag == "0" or not _HAS_PALLAS:
         return False
     if flag == "1":
         return True
-    return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False

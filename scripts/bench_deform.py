@@ -75,13 +75,19 @@ def main():
         grad = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
 
         def timeit(fn, *a):
+            # median of 3 windows on the monotonic clock — time.time() wall
+            # steps produced impossible numbers in the first r4 ladder
+            # (bwd "faster" than fwd, 154% MFU); same fix as bench.py
             out = fn(*a)
             jax.block_until_ready(out)
-            t0 = time.time()
-            for _ in range(args.iters):
-                out = fn(*a)
-            jax.block_until_ready(out)
-            return (time.time() - t0) / args.iters
+            windows = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(args.iters):
+                    out = fn(*a)
+                jax.block_until_ready(out)
+                windows.append(time.perf_counter() - t0)
+            return sorted(windows)[1] / args.iters
 
         t_fwd = timeit(fwd, x, off, mask, wt, b)
         t_bwd = timeit(grad, x, off, mask, wt, b)
