@@ -94,6 +94,13 @@ def _sq() -> int:
     return max(8, v)
 
 
+def _clamp() -> bool:
+    """CFEN_MRF_CLAMP=0 disables the cos>1 clamp and its grad masks — a
+    debug A/B knob for measuring the clamp's device cost only; the
+    unclamped form NaNs under bf16 (r4 trace: step 16) and must not ship."""
+    return os.environ.get("CFEN_MRF_CLAMP", "1") != "0"
+
+
 # --------------------------------------------------------------------------
 # forward kernel: per (n, q-strip) — row stats + running column max
 # --------------------------------------------------------------------------
@@ -109,7 +116,9 @@ def _fw_kernel(sq: int, o_ref, t_ref, m_ref, z_ref, ps_ref,
     # clamp: no-op in exact math, load-bearing in bf16 (see losses/vgg.py
     # _mrf_rows — cos > 1 from normalization roundoff makes m + eps
     # negative and the exp overflows; r4 device trace: p=nan at step 16)
-    cd = jnp.maximum(0.5 - 0.5 * cos, 0.0)
+    cd = 0.5 - 0.5 * cos
+    if _clamp():
+        cd = jnp.maximum(cd, 0.0)
     m = jnp.min(cd, axis=1, keepdims=True)         # [Sq, 1]
     piot = jax.lax.broadcasted_iota(jnp.int32, cd.shape, 1)
     p_star = jnp.min(jnp.where(cd == m, piot, jnp.int32(cd.shape[1])),
@@ -186,8 +195,9 @@ def _bwd_do_kernel(sq: int, o_ref, t_ref, m_ref, z_ref, dz_ref, qstar_ref,
     cos = jax.lax.dot_general(
         o, t, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)        # [Sq, P]
-    cd_raw = 0.5 - 0.5 * cos
-    cd = jnp.maximum(cd_raw, 0.0)                  # fwd-kernel clamp
+    cd = 0.5 - 0.5 * cos
+    if _clamp():
+        cd = jnp.maximum(cd, 0.0)                  # fwd-kernel clamp
     m = m_ref[0]                                   # [Sq, 1]
     z = z_ref[0]
     dz = dz_ref[0]
@@ -197,8 +207,11 @@ def _bwd_do_kernel(sq: int, o_ref, t_ref, m_ref, z_ref, dz_ref, qstar_ref,
     hit = riot == qstar_ref[0]                     # [Sq,P] vs [1,P]
     b_cot = jnp.where(hit, dk / z, 0.0) + dz
     beb = be * b_cot
-    # d cd/d cos vanishes where the clamp was active (cd_raw < 0)
-    dcos = jnp.where(cd_raw > 0, beb / (m + _EPS), 0.0)
+    dcos = beb / (m + _EPS)
+    if _clamp():
+        # d cd/d cos vanishes where the clamp was active; cos < 1 <=> raw
+        # cd > 0, reusing the live cos strip (no second [Sq,P] buffer)
+        dcos = jnp.where(cos < 1.0, dcos, 0.0)
     dm_ref[0] = (jnp.sum(2.0 * beb * cd, axis=1, keepdims=True)
                  / (m + _EPS) ** 2)
     do_ref[0] = jax.lax.dot_general(
@@ -213,8 +226,9 @@ def _bwd_dt_kernel(sp: int, t_ref, o_ref, m_ref, z_ref, dz_ref, qstar_ref,
     cos_t = jax.lax.dot_general(
         t, o, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)        # [Sp, P(q)]
-    cd_raw = 0.5 - 0.5 * cos_t
-    cd = jnp.maximum(cd_raw, 0.0)                  # fwd-kernel clamp
+    cd = 0.5 - 0.5 * cos_t
+    if _clamp():
+        cd = jnp.maximum(cd, 0.0)                  # fwd-kernel clamp
     m = m_ref[0]                                   # [1, P(q)]
     z = z_ref[0]
     dz = dz_ref[0]
@@ -223,7 +237,9 @@ def _bwd_dt_kernel(sp: int, t_ref, o_ref, m_ref, z_ref, dz_ref, qstar_ref,
     qiot = jax.lax.broadcasted_iota(jnp.int32, cd.shape, 1)
     hit = qiot == qstar_ref[0]                     # [Sp,P] vs [Sp,1]
     b_cot = jnp.where(hit, dk / z, 0.0) + dz
-    dcos_t = jnp.where(cd_raw > 0, be * b_cot / (m + _EPS), 0.0)
+    dcos_t = be * b_cot / (m + _EPS)
+    if _clamp():
+        dcos_t = jnp.where(cos_t < 1.0, dcos_t, 0.0)
     dt_ref[0] = jax.lax.dot_general(
         dcos_t, o, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dt_ref.dtype)
@@ -324,8 +340,9 @@ def _mrf_core_bwd(res, g):
     # min was produced by the clamp (m == 0 <=> some raw cd <= 0), d m/d cos
     # is zero through max(cd, 0), so the correction is dropped — matching
     # autodiff of the clamped dense path.
-    coef = jnp.where(m[:, :, 0] > 0,
-                     -0.5 * dm[:, :, 0], 0.0).astype(jnp.float32)  # [N,P]
+    coef = (-0.5 * dm[:, :, 0]).astype(jnp.float32)          # [N,P]
+    if _clamp():
+        coef = jnp.where(m[:, :, 0] > 0, coef, 0.0)
     ps = p_star[:, :, 0]
     t_at_pstar = jnp.take_along_axis(
         t_n.astype(jnp.float32), ps[:, :, None], axis=1)     # [N,P,C]
