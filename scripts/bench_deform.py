@@ -48,6 +48,7 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from jax import lax
     from cfen_vit_tpu.config import enable_compilation_cache
     enable_compilation_cache()
     from cfen_vit_tpu.ops.deform_conv import modulated_deform_conv
@@ -65,32 +66,51 @@ def main():
         wt = jnp.asarray(r.randn(k, k, cin, cout) * 0.05, dt)
         b = jnp.zeros((cout,), dt)
 
-        fwd = jax.jit(lambda x, o, m, w, b: modulated_deform_conv(
-            x, o, m, w, b, 1, 1, 1))
-
         def loss(x, o, m, w, b):
             return jnp.sum(modulated_deform_conv(
                 x, o, m, w, b, 1, 1, 1).astype(jnp.float32) ** 2)
 
-        grad = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+        grad = jax.grad(loss, argnums=(0, 1, 2, 3, 4))
 
-        def timeit(fn, *a):
-            # median of 3 windows on the monotonic clock — time.time() wall
-            # steps produced impossible numbers in the first r4 ladder
-            # (bwd "faster" than fwd, 154% MFU); same fix as bench.py
-            out = fn(*a)
-            jax.block_until_ready(out)
-            windows = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                for _ in range(args.iters):
-                    out = fn(*a)
-                jax.block_until_ready(out)
-                windows.append(time.perf_counter() - t0)
-            return sorted(windows)[1] / args.iters
+        # Timing at ~50us-op granularity over the axon relay: a Python
+        # dispatch loop reported >100% MFU (the per-call path never touches
+        # the device synchronously), so instead run N data-dependent
+        # iterations inside ONE jitted lax.scan (carry perturbs x by
+        # 1e-30*result — unfoldable, forces serial execution) and
+        # difference two window sizes to cancel the constant relay RTT.
+        def chain_fwd(n):
+            def body(xc, _):
+                y = modulated_deform_conv(xc, off, mask, wt, b, 1, 1, 1)
+                return xc + jnp.asarray(1e-30, dt) * y, None
+            def run(x0):
+                return lax.scan(body, x0, None, length=n)[0]
+            return jax.jit(run)
 
-        t_fwd = timeit(fwd, x, off, mask, wt, b)
-        t_bwd = timeit(grad, x, off, mask, wt, b)
+        def chain_bwd(n):
+            def body(xc, _):
+                gx = grad(xc, off, mask, wt, b)[0]
+                return xc + jnp.asarray(1e-30, dt) * gx, None
+            def run(x0):
+                return lax.scan(body, x0, None, length=n)[0]
+            return jax.jit(run)
+
+        def timeit(mk):
+            small, big = args.iters, args.iters * 5
+            fns = {n: mk(n) for n in (small, big)}
+            for f in fns.values():           # compile + warm
+                jax.block_until_ready(f(x))
+            med = {}
+            for n, f in fns.items():
+                windows = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(f(x))
+                    windows.append(time.perf_counter() - t0)
+                med[n] = sorted(windows)[1]
+            return (med[big] - med[small]) / (big - small)
+
+        t_fwd = timeit(chain_fwd)
+        t_bwd = timeit(chain_bwd)
         gemm_flops = 2.0 * n * h * w * k * k * cin * cout
         print(json.dumps({
             "geometry": f"{n}x{h}x{w}x{cin}->{cout} k{k}",
