@@ -95,7 +95,7 @@ def main():
     except Exception as e:  # cost analysis is best-effort
         print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
 
-    from cfen_vit_tpu.utils.profiling import mfu_line
+    from cfen_vit_tpu.utils.profiling import mfu_line, model_flops_lookup
     print(json.dumps({
         "metric": f"{args.size}x{args.size}_gan_train_step",
         "value": round(dt, 4), "unit": "s/step",
@@ -107,7 +107,20 @@ def main():
         "gflops_per_img": round(flops / args.batch / 1e9, 1),
     }))
     if flops:
-        print("# " + mfu_line(flops, dt), file=sys.stderr)
+        # dual-basis MFU (VERDICT r4 #2): program basis (this compile's
+        # cost_analysis — includes phase structural zeros, and misses the
+        # flash-MRF custom-call FLOPs) + useful-model basis (dense-path
+        # compile, precomputed by scripts/model_flops.py)
+        line = mfu_line(flops, dt).replace("MFU=", "mfu_prog=")
+        model_g = model_flops_lookup(
+            f"train_s{args.size}_b{args.batch}_{args.dtype}_"
+            + (f"remat-{args.remat_mode}" if args.remat else "noremat"))
+        if model_g:
+            line += (" " + mfu_line(model_g * 1e9 * args.batch, dt)
+                     .replace("achieved=", "model_achieved=")
+                     .replace("MFU=", "mfu_model=")
+                     + f" model_flops/img={model_g:.1f}G")
+        print("# " + line, file=sys.stderr)
     g = float(tr.get_current_losses()["G"])
     print(f"# G loss {g:.3f} (finite: {np.isfinite(g)})", file=sys.stderr)
 

@@ -75,6 +75,27 @@ def device_peak_flops(device=None) -> Optional[float]:
     return next((v for k, v in _PEAKS.items() if k in kind), None)
 
 
+def model_flops_lookup(key: str) -> Optional[float]:
+    """GFLOPs/img for the dense (useful-model) basis, from model_flops.json.
+
+    Dual-basis MFU (VERDICT r4 #2): the compiled program's cost_analysis
+    FLOPs include the phase formulation's structural zeros; the honest
+    utilization number also needs the dense-path basis.  That basis is a
+    constant of the model geometry, precomputed by scripts/model_flops.py
+    (compiled cost_analysis of the CFEN_PHASE_*=0 / CFEN_PALLAS_MRF=0
+    program) and committed, so bench runs pay no extra compile."""
+    import json
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "model_flops.json")
+    try:
+        with open(path) as fh:
+            entry = json.load(fh).get(key)
+        return float(entry["gflops_per_img"]) if entry else None
+    except Exception:
+        return None
+
+
 def mfu_line(flops_per_step: float, sec_per_step: float) -> str:
     """'achieved=XX.XTF/s MFU=YY.Y%' (MFU omitted off-TPU)."""
     tf = flops_per_step / sec_per_step / 1e12

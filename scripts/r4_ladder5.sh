@@ -6,7 +6,7 @@
 set -u
 cd "$(dirname "$0")/.."
 STAMP() { date +%H:%M:%S; }
-R() { echo "=== $(STAMP) $*"; timeout 3600 "$@" 2>&1; echo "=== rc=$?"; }
+R() { echo "=== $(STAMP) $*"; "$@" 2>&1; echo "=== rc=$?"; }
 
 echo "### r4 ladder5 start $(date)"
 
