@@ -103,8 +103,22 @@ def modulated_deform_conv(x, offset, mask, w, b,
     """ModulatedDeformConv (DCNv2) forward.
 
     x [N,H,W,C], offset [N,OH,OW,2K²], mask [N,OH,OW,K²] (post-sigmoid),
-    w [K,K,C,O], b [O] or None."""
+    w [K,K,C,O], b [O] or None.
+
+    On TPU the forward dispatches to the Pallas block-local one-hot GEMM
+    kernel (ops/pallas_deform.py; the r4/r5 device tables in BASELINE.md
+    put the XLA-gather form at fwd MFU 0.04-1.69%).  The kernel clamps
+    per-tap displacements to a static |d| <= CFEN_DCN_MAXDISP (default 12)
+    window — exact whenever offsets stay inside it (always, for trained
+    DCN packs); CFEN_PALLAS_DCN=0 restores the unclamped XLA path."""
     k = w.shape[0]
+    from .pallas_deform import use_pallas_dcn, modulated_deform_conv_pallas
+    if (use_pallas_dcn() and stride == 1 and dilation == 1
+            and pad == k // 2 and x.shape[-1] % 8 == 0):
+        interp = jax.devices()[0].platform not in ("tpu", "axon")
+        return modulated_deform_conv_pallas(x, offset, mask, w, b,
+                                            stride, pad, dilation,
+                                            interpret=interp)
     patches = _sample_patches(x, offset, k, stride, pad, dilation)
     patches = patches * mask[..., None]
     out = jnp.einsum("nhwkc,kco->nhwo",

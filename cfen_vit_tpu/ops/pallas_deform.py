@@ -1,0 +1,219 @@
+"""Pallas deformable-conv forward: block-local one-hot gather GEMM.
+
+Replaces the XLA-gather forward of ops/deform_conv.py on TPU (VERDICT r4
+#1).  The r4 device table (BASELINE.md) put the XLA form at fwd MFU
+0.04-1.69% — XLA's TPU gather runs ~100M rows/s (23 ms per 2.36M-row
+gather at the 4x256x256x48 geometry; scripts/probe_deform_decomp.py), and
+Mosaic exposes no usable large-table gather either (same-shape
+tpu.dynamic_gather only: scripts/probe_gather2.py — sublane form only
+works within one 8x128 vreg, f32).
+
+So the kernel avoids gathers entirely.  For each 8x8 output block the
+deformed samples of all K^2 taps lie (after clamping the per-pixel
+displacement to a static |d| <= MAX_DISP window) inside one
+WIN = S + 2D + K square image window.  Bilinear sampling of all
+S*S*K^2 block samples is then ONE factored one-hot contraction on the MXU:
+
+    rowhot[s, wy] = mask_s * ((wy==y0_s)(1-fy_s) + (wy==y0_s+1) fy_s)
+    A[s, wx*C+c]  = rowhot @ window_flat          # [P,WIN] x [WIN,WIN*C]
+    patch[s, c]   = sum_wx colhot[s, wx] * A[s, wx*C:(wx+1)*C]
+    out[p, o]     = sum_t patch[t-major slab] @ w[t]   (+ bias outside)
+
+No gather, no dynamic shapes: iota-compares build the one-hots, the image
+window is one strided DMA (rows are contiguous WIN*C runs because the
+caller pre-flattens x to [N, Hp, Wp*C]), and everything else is MXU/VPU.
+FLOPs are ~P*WIN*WIN*C*2 per block (structural zeros, same trade as
+ops/phase_space.py) — ~293 GFLOP at the 256-geometry with D=12, i.e.
+milliseconds where the XLA gather needs 145 ms.
+
+Semantics: identical to ops/deform_conv.modulated_deform_conv (reference
+dcn/src/deform_conv_cuda_kernel.cu:190-279 dmcn_im2col_bilinear) whenever
+every per-tap displacement satisfies |offset| <= MAX_DISP; larger
+displacements are clamped to the window edge (the XLA path keeps them
+exact and stays available via CFEN_PALLAS_DCN=0).  Trained DCN offsets are
+predicted by a zero-initialised conv and stay within a few pixels
+(ModulatedDeformConvPack, ref dcn/deform_conv.py:221-283), so the default
+D=12 (CFEN_DCN_MAXDISP) is far beyond practice.
+
+Forward only: the backward stays the closed-form XLA VJP of
+ops/deform_conv.py (scatter-add col2im / col2im_coord), per VERDICT r4 #1.
+
+Restrictions (dispatch falls back to the XLA path otherwise):
+  stride == 1, dilation == 1, pad == k // 2, C % 8 == 0.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cfg():
+    d = int(os.environ.get("CFEN_DCN_MAXDISP", 12))
+    s = int(os.environ.get("CFEN_DCN_BLOCK", 8))
+    return d, s
+
+
+def use_pallas_dcn() -> bool:
+    """Auto-ON on TPU; CFEN_PALLAS_DCN=0 disables, =1 forces (interpret on
+    CPU for tests)."""
+    flag = os.environ.get("CFEN_PALLAS_DCN", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return jax.devices()[0].platform in ("tpu", "axon")
+
+
+def _kernel(y0_ref, x0_ref, fy_ref, fx_ref, m_ref, w_ref, xp_ref, out_ref,
+            win_ref, sem, *, S, K, C, O, WIN, out_dtype):
+    n = pl.program_id(0)
+    by = pl.program_id(1)
+    bx = pl.program_id(2)
+    P = S * S * K * K
+
+    # one strided DMA: WIN rows of WIN*C contiguous elements each
+    ys = pl.multiple_of(by * S, S)
+    xs = pl.multiple_of(bx * (S * C), S * C)
+    dma = pltpu.make_async_copy(
+        xp_ref.at[n, pl.ds(ys, WIN), pl.ds(xs, WIN * C)], win_ref, sem)
+    dma.start()
+
+    y0 = y0_ref[0, 0, 0]          # [P, 1] int32 (window-relative row)
+    x0 = x0_ref[0, 0, 0]
+    fy = fy_ref[0, 0, 0]          # [P, 1] bf16 fractional parts
+    fx = fx_ref[0, 0, 0]
+    m = m_ref[0, 0, 0]            # [P, 1] modulation mask
+
+    iw = jax.lax.broadcasted_iota(jnp.int32, (P, WIN), 1)
+    one = jnp.ones((), fy.dtype)
+    rowhot = (jnp.where(iw == y0, (one - fy) * m, 0)
+              + jnp.where(iw == y0 + 1, fy * m, 0))
+    colhot = (jnp.where(iw == x0, one - fx, 0)
+              + jnp.where(iw == x0 + 1, fx, 0))
+
+    dma.wait()
+    # [P, WIN] @ [WIN, WIN*C] -> y-interpolated rows for every window column
+    a = jax.lax.dot_general(
+        rowhot, win_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # x-interpolation: gated reduction over the WIN column groups
+    patch = jnp.zeros((P, C), jnp.float32)
+    for i in range(WIN):
+        patch = patch + a[:, i * C:(i + 1) * C] * colhot[:, i:i + 1].astype(
+            jnp.float32)
+
+    # tap-major GEMM with the conv weights: samples are laid out t*S*S + p
+    patch = patch.astype(w_ref.dtype)
+    acc = jnp.zeros((S * S, O), jnp.float32)
+    for t in range(K * K):
+        acc = acc + jax.lax.dot_general(
+            patch[t * S * S:(t + 1) * S * S, :],
+            w_ref[t * C:(t + 1) * C, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    out_ref[...] = acc.reshape(1, S, S, O).astype(out_dtype)
+
+
+def _prep(x, offset, mask, k: int, pad: int, max_disp: int, S: int):
+    """XLA-side prep: zero-pad + flatten the image, and build the
+    per-sample window-relative integer/fraction planes (tap-major)."""
+    n, h, w, c = x.shape
+    D = max_disp
+    hb = -(-h // S) * S
+    wb = -(-w // S) * S
+    WIN = S + 2 * D + k
+    # halo: rel displacement range [-pad-D, k-1-pad+D+1)
+    lo = pad + D
+    hi_y = (k - 1 - pad + D + 1) + (hb - h)
+    hi_x = (k - 1 - pad + D + 1) + (wb - w)
+    xp = jnp.pad(x, ((0, 0), (lo, hi_y), (lo, hi_x), (0, 0)))
+    xp2 = xp.reshape(n, h + lo + hi_y, -1)   # [N, Hp, Wp*C], layout-free
+
+    kk = k * k
+    off = offset.reshape(n, h, w, kk, 2)
+    dy = jnp.clip(off[..., 0].astype(jnp.float32), -D, D)
+    dx = jnp.clip(off[..., 1].astype(jnp.float32), -D, D)
+    ky = jnp.repeat(jnp.arange(k, dtype=jnp.float32), k)
+    kx = jnp.tile(jnp.arange(k, dtype=jnp.float32), k)
+    oyb = jnp.arange(h, dtype=jnp.float32) % S
+    oxb = jnp.arange(w, dtype=jnp.float32) % S
+    # window-relative sample coordinate (block origin already subtracted):
+    # y = oy%S + ky - pad + dy + (pad + D) = oy%S + ky + D + dy
+    ys = oyb[:, None, None] + (ky + D)[None, None, :] + dy
+    xs = oxb[None, :, None] + (kx + D)[None, None, :] + dx
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    fy = (ys - y0).astype(x.dtype)
+    fx = (xs - x0).astype(x.dtype)
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+
+    def blockify(a, dt):
+        # [N,H,W,K2] -> [N,BY,BX,K2*S*S,1] tap-major, padded blocks zeroed
+        if hb != h or wb != w:
+            a = jnp.pad(a, ((0, 0), (0, hb - h), (0, wb - w), (0, 0)))
+        a = a.reshape(n, hb // S, S, wb // S, S, kk)
+        a = a.transpose(0, 1, 3, 5, 2, 4)
+        return a.reshape(n, hb // S, wb // S, kk * S * S, 1).astype(dt)
+
+    mv = mask.reshape(n, h, w, kk)
+    planes = (blockify(y0, jnp.int32), blockify(x0, jnp.int32),
+              blockify(fy, x.dtype), blockify(fx, x.dtype),
+              blockify(mv, x.dtype))
+    return xp2, planes, (hb, wb, WIN)
+
+
+def modulated_deform_conv_pallas(x, offset, mask, w, b=None,
+                                 stride: int = 1, pad: int = 1,
+                                 dilation: int = 1,
+                                 interpret: bool = False):
+    """Pallas DCNv2 forward (see module docstring for the clamp contract).
+
+    Same signature/semantics as ops.deform_conv.modulated_deform_conv for
+    stride=1, dilation=1, pad=k//2; raises ValueError otherwise (the
+    dispatcher checks first)."""
+    k = w.shape[0]
+    if stride != 1 or dilation != 1 or pad != k // 2:
+        raise ValueError("pallas DCN supports stride=1 dilation=1 pad=k//2")
+    n, h, wid, c = x.shape
+    o = w.shape[3]
+    if c % 8 != 0:
+        raise ValueError("pallas DCN needs C % 8 == 0")
+    D, S = _cfg()
+    xp2, planes, (hb, wb, WIN) = _prep(x, offset, mask, k, pad, D, S)
+    P = S * S * k * k
+    wf = w.reshape(k * k * c, o).astype(x.dtype)
+
+    grid = (n, hb // S, wb // S)
+    plane_spec_i = pl.BlockSpec((1, 1, 1, P, 1),
+                                lambda n, i, j: (n, i, j, 0, 0),
+                                memory_space=pltpu.VMEM)
+    kern = functools.partial(_kernel, S=S, K=k, C=c, O=o, WIN=WIN,
+                             out_dtype=x.dtype)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, hb, wb, o), x.dtype),
+        grid=grid,
+        in_specs=[plane_spec_i, plane_spec_i, plane_spec_i, plane_spec_i,
+                  plane_spec_i,
+                  pl.BlockSpec(memory_space=pltpu.VMEM),   # weights, whole
+                  pl.BlockSpec(memory_space=pltpu.ANY)],   # image, HBM
+        out_specs=pl.BlockSpec((1, S, S, o), lambda n, i, j: (n, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((WIN, WIN * c), x.dtype),
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(*planes, wf, xp2)
+    if hb != h or wb != wid:
+        out = out[:, :h, :wid, :]
+    if b is not None:
+        out = out + b
+    return out

@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--paths", default="xla,pallas",
+                    help="comma list of forward paths to A/B "
+                         "(xla = gather form, pallas = one-hot GEMM kernel)")
     args = ap.parse_args()
 
     import jax
@@ -57,7 +60,26 @@ def main():
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     peak = device_peak_flops() or float("nan")
 
+    # A/B both forward paths (r5): the XLA gather form and the Pallas
+    # block-local one-hot GEMM kernel (ops/pallas_deform.py). Dispatch is
+    # decided at trace time from CFEN_PALLAS_DCN, so each path gets its
+    # own freshly-traced jits.
+    paths = [p for p in args.paths.split(",") if p]
     for (n, h, w, cin, cout, k) in GEOMETRIES:
+        for path in paths:
+            os.environ["CFEN_PALLAS_DCN"] = "1" if path == "pallas" else "0"
+            _bench_one(args, n, h, w, cin, cout, k, dt, peak, path)
+    os.environ.pop("CFEN_PALLAS_DCN", None)
+
+
+def _bench_one(args, n, h, w, cin, cout, k, dt, peak, path):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+    from cfen_vit_tpu.ops.deform_conv import modulated_deform_conv
+
+    if True:
         r = np.random.RandomState(0)
         x = jnp.asarray(r.randn(n, h, w, cin), dt)
         # modest offsets (like a trained conv_offset_mask predicts)
@@ -124,6 +146,7 @@ def main():
         gemm_flops = 2.0 * n * h * w * k * k * cin * cout
         print(json.dumps({
             "geometry": f"{n}x{h}x{w}x{cin}->{cout} k{k}",
+            "path": path,
             "dtype": args.dtype,
             "fwd_ms": round(t_fwd * 1e3, 3),
             "fwd_bwd_ms": round(t_bwd * 1e3, 3),
