@@ -70,55 +70,72 @@ def use_pallas_dcn() -> bool:
     return jax.devices()[0].platform in ("tpu", "axon")
 
 
-def _kernel(y0_ref, x0_ref, fy_ref, fx_ref, m_ref, w_ref, xp_ref, out_ref,
-            win_ref, sem, *, S, K, C, O, WIN, out_dtype):
+def _kernel(y0_ref, x0_ref, fy_ref, fx_ref, m_ref, w_ref, xp_ref,
+            out_ref, win_ref, sem, *, S, K, C, O, WIN, WINR, WINX,
+            out_dtype):
+    # Transposed dataflow: SAMPLES LIVE ON LANES throughout.  That makes
+    # (a) the stage-A contraction emit A_T [WINX, P] directly (no
+    # transpose), (b) the stage-B gated reduce slice 8-aligned SUBLANE
+    # slabs A_T[i*C:(i+1)*C] instead of rotated 48-lane groups, and
+    # (c) the conv GEMM contract tap-major sublane-concat slabs in one
+    # dot that lands already [S*S, O] for the output write.
     n = pl.program_id(0)
     by = pl.program_id(1)
     bx = pl.program_id(2)
     P = S * S * K * K
 
-    # one strided DMA: WIN rows of WIN*C contiguous elements each
+    # one strided DMA: WINR rows (WIN rounded to the 8-sublane tiling) of
+    # WINX = WINR*C contiguous elements (128-aligned); the overread
+    # rows/lanes carry zero one-hot weight and never reach the output
     ys = pl.multiple_of(by * S, S)
     xs = pl.multiple_of(bx * (S * C), S * C)
     dma = pltpu.make_async_copy(
-        xp_ref.at[n, pl.ds(ys, WIN), pl.ds(xs, WIN * C)], win_ref, sem)
+        xp_ref.at[n, pl.ds(ys, WINR), pl.ds(xs, WINX)], win_ref, sem)
     dma.start()
 
-    y0 = y0_ref[0, 0, 0]          # [P, 1] int32 (window-relative row)
+    y0 = y0_ref[0, 0, 0]          # [1, P] int32 (window-relative row)
     x0 = x0_ref[0, 0, 0]
-    fy = fy_ref[0, 0, 0]          # [P, 1] bf16 fractional parts
+    fy = fy_ref[0, 0, 0]          # [1, P] fractional parts
     fx = fx_ref[0, 0, 0]
-    m = m_ref[0, 0, 0]            # [P, 1] modulation mask
+    m = m_ref[0, 0, 0]            # [1, P] modulation mask
 
-    iw = jax.lax.broadcasted_iota(jnp.int32, (P, WIN), 1)
+    # integer one-hots built arithmetically: relu(1 - |iota - idx|) is an
+    # exact indicator and avoids i1 vectors + scalar-select relayouts
+    # (Mosaic "Invalid relayout ... vector<...xi1>" on the where-form)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (WINR, P), 0)
     one = jnp.ones((), fy.dtype)
-    rowhot = (jnp.where(iw == y0, (one - fy) * m, 0)
-              + jnp.where(iw == y0 + 1, fy * m, 0))
-    colhot = (jnp.where(iw == x0, one - fx, 0)
-              + jnp.where(iw == x0 + 1, fx, 0))
+
+    def hot(idx):
+        d = iw - jnp.broadcast_to(idx, (WINR, P))
+        return jnp.maximum(1 - jnp.abs(d), 0).astype(fy.dtype)
+
+    rowhot = hot(y0) * ((one - fy) * m) + hot(y0 + 1) * (fy * m)
+    colhot = hot(x0) * (one - fx) + hot(x0 + 1) * fx
 
     dma.wait()
-    # [P, WIN] @ [WIN, WIN*C] -> y-interpolated rows for every window column
-    a = jax.lax.dot_general(
-        rowhot, win_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
+    # y-interpolation: [WINR, WINX]^T-contract [WINR, P] -> A_T [WINX, P]
+    a_t = jax.lax.dot_general(
+        win_ref[:], rowhot,
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
-    # x-interpolation: gated reduction over the WIN column groups
-    patch = jnp.zeros((P, C), jnp.float32)
+    # x-interpolation: gated reduce over the WIN column groups — 8-aligned
+    # sublane slabs, per-group sublane-broadcast gate
+    patch_t = jnp.zeros((C, P), jnp.float32)
     for i in range(WIN):
-        patch = patch + a[:, i * C:(i + 1) * C] * colhot[:, i:i + 1].astype(
-            jnp.float32)
+        patch_t = patch_t + a_t[i * C:(i + 1) * C, :] \
+            * colhot[i:i + 1, :].astype(jnp.float32)
 
-    # tap-major GEMM with the conv weights: samples are laid out t*S*S + p
-    patch = patch.astype(w_ref.dtype)
-    acc = jnp.zeros((S * S, O), jnp.float32)
-    for t in range(K * K):
-        acc = acc + jax.lax.dot_general(
-            patch[t * S * S:(t + 1) * S * S, :],
-            w_ref[t * C:(t + 1) * C, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    # conv-weight GEMM: sublane-concat the tap-major slabs so all K^2
+    # taps contract in ONE dot: [K^2*C, S*S]^T-contract [K^2*C, O]
+    patch_t = patch_t.astype(w_ref.dtype)
+    pix_t = jnp.concatenate(
+        [patch_t[:, t * S * S:(t + 1) * S * S] for t in range(K * K)],
+        axis=0)
+    acc = jax.lax.dot_general(
+        pix_t, w_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     out_ref[...] = acc.reshape(1, S, S, O).astype(out_dtype)
 
 
@@ -130,10 +147,16 @@ def _prep(x, offset, mask, k: int, pad: int, max_disp: int, S: int):
     hb = -(-h // S) * S
     wb = -(-w // S) * S
     WIN = S + 2 * D + k
-    # halo: rel displacement range [-pad-D, k-1-pad+D+1)
+    WINR = -(-WIN // 8) * 8                 # DMA rows: 8-sublane tiling
+    while (WINR * c) % 128:                 # lanes = WINR*C groups of C,
+        WINR += 8                           # kept 128-aligned as a whole
+    WINX = WINR * c
+    # halo: rel displacement range [-pad-D, k-1-pad+D+1); extra hi padding
+    # keeps the aligned (WINR x WINX) window DMA in bounds for the last
+    # block row/column
     lo = pad + D
-    hi_y = (k - 1 - pad + D + 1) + (hb - h)
-    hi_x = (k - 1 - pad + D + 1) + (wb - w)
+    hi_y = (k - 1 - pad + D + 1) + (hb - h) + (WINR - WIN)
+    hi_x = (k - 1 - pad + D + 1) + (wb - w) + (-(-(WINX - WIN * c) // c))
     xp = jnp.pad(x, ((0, 0), (lo, hi_y), (lo, hi_x), (0, 0)))
     xp2 = xp.reshape(n, h + lo + hi_y, -1)   # [N, Hp, Wp*C], layout-free
 
@@ -157,18 +180,19 @@ def _prep(x, offset, mask, k: int, pad: int, max_disp: int, S: int):
     x0 = x0.astype(jnp.int32)
 
     def blockify(a, dt):
-        # [N,H,W,K2] -> [N,BY,BX,K2*S*S,1] tap-major, padded blocks zeroed
+        # [N,H,W,K2] -> [N,BY,BX,1,K2*S*S] tap-major (samples on LANES),
+        # padded blocks zeroed
         if hb != h or wb != w:
             a = jnp.pad(a, ((0, 0), (0, hb - h), (0, wb - w), (0, 0)))
         a = a.reshape(n, hb // S, S, wb // S, S, kk)
         a = a.transpose(0, 1, 3, 5, 2, 4)
-        return a.reshape(n, hb // S, wb // S, kk * S * S, 1).astype(dt)
+        return a.reshape(n, hb // S, wb // S, 1, kk * S * S).astype(dt)
 
     mv = mask.reshape(n, h, w, kk)
     planes = (blockify(y0, jnp.int32), blockify(x0, jnp.int32),
               blockify(fy, x.dtype), blockify(fx, x.dtype),
               blockify(mv, x.dtype))
-    return xp2, planes, (hb, wb, WIN)
+    return xp2, planes, (hb, wb, WIN, WINR, WINX)
 
 
 def modulated_deform_conv_pallas(x, offset, mask, w, b=None,
@@ -188,16 +212,17 @@ def modulated_deform_conv_pallas(x, offset, mask, w, b=None,
     if c % 8 != 0:
         raise ValueError("pallas DCN needs C % 8 == 0")
     D, S = _cfg()
-    xp2, planes, (hb, wb, WIN) = _prep(x, offset, mask, k, pad, D, S)
+    xp2, planes, (hb, wb, WIN, WINR, WINX) = _prep(x, offset, mask, k,
+                                                   pad, D, S)
     P = S * S * k * k
     wf = w.reshape(k * k * c, o).astype(x.dtype)
 
     grid = (n, hb // S, wb // S)
-    plane_spec_i = pl.BlockSpec((1, 1, 1, P, 1),
+    plane_spec_i = pl.BlockSpec((1, 1, 1, 1, P),
                                 lambda n, i, j: (n, i, j, 0, 0),
                                 memory_space=pltpu.VMEM)
     kern = functools.partial(_kernel, S=S, K=k, C=c, O=o, WIN=WIN,
-                             out_dtype=x.dtype)
+                             WINR=WINR, WINX=WINX, out_dtype=x.dtype)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((n, hb, wb, o), x.dtype),
@@ -208,7 +233,7 @@ def modulated_deform_conv_pallas(x, offset, mask, w, b=None,
                   pl.BlockSpec(memory_space=pltpu.ANY)],   # image, HBM
         out_specs=pl.BlockSpec((1, S, S, o), lambda n, i, j: (n, i, j, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((WIN, WIN * c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((WINR, WINX), x.dtype),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(*planes, wf, xp2)
