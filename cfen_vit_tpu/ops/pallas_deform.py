@@ -71,8 +71,8 @@ def use_pallas_dcn() -> bool:
 
 
 def _kernel(y0_ref, x0_ref, fy_ref, fx_ref, m_ref, w_ref, xp_ref,
-            out_ref, win_ref, sem, *, S, K, C, O, WIN, WINR, WINX,
-            out_dtype):
+            out_ref, win_ref, pix_ref, sem, *, S, K, C, O, WIN, WINR,
+            WINX, out_dtype):
     # Transposed dataflow: SAMPLES LIVE ON LANES throughout.  That makes
     # (a) the stage-A contraction emit A_T [WINX, P] directly (no
     # transpose), (b) the stage-B gated reduce slice 8-aligned SUBLANE
@@ -126,14 +126,16 @@ def _kernel(y0_ref, x0_ref, fy_ref, fx_ref, m_ref, w_ref, xp_ref,
         patch_t = patch_t + a_t[i * C:(i + 1) * C, :] \
             * colhot[i:i + 1, :].astype(jnp.float32)
 
-    # conv-weight GEMM: sublane-concat the tap-major slabs so all K^2
-    # taps contract in ONE dot: [K^2*C, S*S]^T-contract [K^2*C, O]
+    # conv-weight GEMM: restack the tap-major slabs [C, S*S] into a
+    # [K^2*C, S*S] scratch (ref stores normalize the lane offsets a
+    # direct sublane-concat of lane slices trips Mosaic on), then all
+    # K^2 taps contract in ONE dot: [K^2*C, S*S]^T-contract [K^2*C, O]
     patch_t = patch_t.astype(w_ref.dtype)
-    pix_t = jnp.concatenate(
-        [patch_t[:, t * S * S:(t + 1) * S * S] for t in range(K * K)],
-        axis=0)
+    for t in range(K * K):
+        pix_ref[t * C:(t + 1) * C, :] = \
+            patch_t[:, t * S * S:(t + 1) * S * S]
     acc = jax.lax.dot_general(
-        pix_t, w_ref[:],
+        pix_ref[:], w_ref[:],
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     out_ref[...] = acc.reshape(1, S, S, O).astype(out_dtype)
@@ -234,6 +236,7 @@ def modulated_deform_conv_pallas(x, offset, mask, w, b=None,
         out_specs=pl.BlockSpec((1, S, S, o), lambda n, i, j: (n, i, j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((WINR, WINX), x.dtype),
+                        pltpu.VMEM((k * k * c, S * S), x.dtype),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(*planes, wf, xp2)
