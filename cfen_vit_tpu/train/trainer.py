@@ -224,6 +224,37 @@ class GanTrainer:
     def _expand_s(self, s):
         return jnp.tile(s, (1, 1, 1, 3)) if s.shape[-1] == 1 else s
 
+    def _vgg_losses(self, vgg, fakes, reals):
+        """Per-branch epdn VGGLoss values, {name: loss}.
+
+        CFEN_VGG_BATCHED=1 stacks the branches into ONE tower pass per
+        side (fakes with grad, reals stop-grad) — identical math (the
+        per-branch means are taken on batch slices of the same convs),
+        3x fewer conv ops for the A/R/S loss set.  Default off pending
+        the device A/B (VERDICT r4 #5)."""
+        import os as _os
+        names = list(fakes)
+        if (_os.environ.get("CFEN_VGG_BATCHED", "0") != "1"
+                or len(names) < 2):
+            return {n: vgg_perceptual_loss(vgg, fakes[n], reals[n])
+                    for n in names}
+        from ..losses.vgg import vgg19_features
+        taps = ("relu1_1", "relu2_1", "relu3_1", "relu4_1", "relu5_1")
+        wts = (1 / 32, 1 / 16, 1 / 8, 1 / 4, 1.0)
+        fx = vgg19_features(
+            vgg, jnp.concatenate([fakes[n] for n in names], 0), taps)
+        fy = jax.tree_util.tree_map(
+            jax.lax.stop_gradient,
+            vgg19_features(
+                vgg, jnp.concatenate([reals[n] for n in names], 0), taps))
+        nb = fakes[names[0]].shape[0]
+        out = {n: 0.0 for n in names}
+        for w, t in zip(wts, taps):
+            diff = jnp.abs(fx[t] - fy[t])
+            for i, n in enumerate(names):
+                out[n] = out[n] + w * jnp.mean(diff[i * nb:(i + 1) * nb])
+        return out
+
     def _g_loss(self, g, d, vgg, batch):
         cfg = self.cfg
         cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
@@ -269,6 +300,7 @@ class GanTrainer:
             # DECMGVIT loss set (ref dec_mgvit_model.py:141-182): per branch
             # GAN*0.0618 + VGG*2*lambda_vgg + gradient MSE*1 + L1*2; no
             # SSIM/IDMRF/semantic terms
+            vggl = self._vgg_losses(vgg, fakes, reals)
             for name, fake in fakes.items():
                 real = reals[name]
                 lk = name.lower()
@@ -276,8 +308,7 @@ class GanTrainer:
                                jnp.concatenate([hazy, fake], -1))
                 losses[f"GAN_{lk}"] = gan_loss(pred, True,
                                                self.use_lsgan) * 0.0618
-                losses[f"vgg_{lk}"] = (vgg_perceptual_loss(vgg, fake, real)
-                                       * cfg.lambda_vgg * 2)
+                losses[f"vgg_{lk}"] = vggl[name] * cfg.lambda_vgg * 2
                 losses[f"gradient_fake_{lk}"] = jnp.mean(jnp.square(
                     color_gradient(real) - color_gradient(fake)))
                 losses[f"L2_{lk}"] = jnp.mean(jnp.abs(real - fake)) * 2
@@ -285,13 +316,13 @@ class GanTrainer:
             total = sum(losses.values())
             losses["G"] = total
             return total, (losses, fakes, reals)
+        vggl = self._vgg_losses(vgg, fakes, reals)
         for name, fake in fakes.items():
             real = reals[name]
             lk = name.lower()
             pred = apply_d(cfg, d[name], jnp.concatenate([hazy, fake], -1))
             losses[f"GAN_{lk}"] = gan_loss(pred, True, self.use_lsgan) * 0.0618
-            losses[f"vgg_{lk}"] = (vgg_perceptual_loss(vgg, fake, real)
-                                   * cfg.lambda_vgg * 2)
+            losses[f"vgg_{lk}"] = vggl[name] * cfg.lambda_vgg * 2
             losses[f"gradient_fake_{lk}"] = jnp.mean(jnp.square(
                 color_gradient(real) - color_gradient(fake))) * 2
             losses[f"L2_{lk}"] = jnp.mean(jnp.abs(real - fake)) * 2
