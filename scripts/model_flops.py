@@ -102,6 +102,7 @@ def main():
             "B_paths": [f"{i}.png" for i in range(args.batch)],
         }
         tr.set_input(batch)
+        tr.optimize_parameters(cfg)     # init + build _step_fn (one step)
         comp = tr._step_fn.lower(
             tr.state, tr._batch, tr.vgg,
             jnp.asarray(tr.lr, jnp.float32)).compile()
