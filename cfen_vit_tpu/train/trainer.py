@@ -435,18 +435,31 @@ class GanTrainer:
             (gl, grads, d_grads, losses, d_losses, fakes, pools,
              rng) = grads_and_pools(state, batch, vgg)
             # honor --skip_threshold (declared-but-dead in the reference,
-            # base_options.py:164-165): a diverged batch applies NEITHER the
-            # G nor the D update (gating both keeps the adversarial pair in
-            # step; Adam moments still advance — acceptable for a safety
-            # valve that should never fire in healthy training)
-            ok = (gl < skip_thr).astype(jnp.float32)
+            # base_options.py:164-165): a diverged batch applies NEITHER
+            # the G nor the D update.  Gate by SELECT, not multiply —
+            # 0 * NaN = NaN, so the r5 device overfit run poisoned params,
+            # Adam moments AND the image pools straight through the old
+            # multiplicative skip.  (gl < thr) is False for NaN, so
+            # non-finite batches skip too; moments and pools keep their
+            # previous values on a skipped step.
+            ok = gl < skip_thr
+
+            def gate(new, old):
+                return jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(ok, a, b), new, old)
+
             up, g_opt = adam.update(grads, state["g_opt"], state["g"])
-            up = jax.tree_util.tree_map(lambda u: -lr * ok * u, up)
+            up = jax.tree_util.tree_map(
+                lambda u: jnp.where(ok, -lr * u, jnp.zeros_like(u)), up)
             g = optax.apply_updates(state["g"], up)
+            g_opt = gate(g_opt, state["g_opt"])
 
             dup, d_opt = adam.update(d_grads, state["d_opt"], state["d"])
-            dup = jax.tree_util.tree_map(lambda u: -lr * ok * u, dup)
+            dup = jax.tree_util.tree_map(
+                lambda u: jnp.where(ok, -lr * u, jnp.zeros_like(u)), dup)
             d = optax.apply_updates(state["d"], dup)
+            d_opt = gate(d_opt, state["d_opt"])
+            pools = gate(pools, state["pools"])
 
             losses = dict(losses)
             losses.update(d_losses)

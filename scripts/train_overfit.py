@@ -103,8 +103,12 @@ def run(steps: int, batch: int, size: int, pairs: int, dtype: str,
         b["B_paths"] = [f"{i}.png" for i in sel]
         tr.set_input(b)
         tr.optimize_parameters(cfg)
-        if step % log_every == 0 or step == steps - 1:
-            losses = tr.get_current_losses()
+        # losses are scalars (cheap readback) — check EVERY step so the
+        # first non-finite term is identified, not a 25-step-later NaN
+        # blanket (the r5 device run went NaN between steps 275 and 300)
+        losses = tr.get_current_losses()
+        bad = [k for k, v in losses.items() if not np.isfinite(float(v))]
+        if step % log_every == 0 or step == steps - 1 or bad:
             vis = tr.get_current_visuals()
             p = psnr(vis["fake_A"], vis["real_A"])
             hist.append({"step": step, "psnr": round(p, 3),
@@ -112,8 +116,10 @@ def run(steps: int, batch: int, size: int, pairs: int, dtype: str,
                             for k, v in losses.items()}})
             if not quiet:
                 print(json.dumps(hist[-1]), flush=True)
-            if not np.isfinite(losses["G"]):
-                break
+        if bad:
+            print(json.dumps({"step": step, "non_finite": bad}),
+                  flush=True)
+            break
     return hist
 
 
@@ -137,8 +143,8 @@ def main():
         "G_first": first["G"], "G_last": last["G"],
         "psnr_first": first["psnr"], "psnr_last": last["psnr"],
         "psnr_best": max(h["psnr"] for h in hist),
-        "g_decreased": last["G"] < first["G"],
-        "psnr_improved": last["psnr"] > first["psnr"],
+        "g_decreased": bool(last["G"] < first["G"]),
+        "psnr_improved": bool(last["psnr"] > first["psnr"]),
     }), flush=True)
 
 

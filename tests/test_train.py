@@ -246,3 +246,56 @@ def test_u8_wire_train_equivalence(rng, tmp_path, monkeypatch):
     from cfen_vit_tpu.utils.images import tensor2im
     vis = t_u.get_current_visuals()
     assert np.array_equal(tensor2im(np.asarray(vis["real_B"])[0]), u8["B"][0])
+
+
+def test_skip_threshold_select_gating(rng, tmp_path):
+    """A diverged batch must leave params, Adam moments and pools EXACTLY
+    unchanged — the old multiplicative gate turned 0*NaN into NaN and the
+    r5 device overfit run poisoned the whole state through the 'skip'.
+    Also: a non-finite G loss (NaN inputs) must itself trigger the skip."""
+    import jax
+    import jax.numpy as jnp
+    from cfen_vit_tpu.train.trainer import GanTrainer
+
+    cfg = _tiny_cfg(tmp_path, skip_threshold=-1.0)   # always skip
+    tr = GanTrainer(cfg)
+    tr.setup(cfg)
+    b = _batch(rng)
+    tr.set_input(b)
+    tr.optimize_parameters(cfg)                      # init + first step
+    snap = jax.tree_util.tree_map(
+        np.asarray, {k: tr.state[k] for k in ("g", "d", "g_opt", "d_opt",
+                                              "pools")})
+    tr.set_input(b)
+    tr.optimize_parameters(cfg)                      # skipped step
+    for key in snap:
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            tr.state[key], snap[key])
+
+    # NaN batch with a normal threshold: loss goes non-finite, state must
+    # stay finite and unchanged
+    cfg2 = _tiny_cfg(tmp_path, name="t2")
+    tr2 = GanTrainer(cfg2)
+    tr2.setup(cfg2)
+    tr2.set_input(b)
+    tr2.optimize_parameters(cfg2)
+    snap2 = jax.tree_util.tree_map(np.asarray, tr2.state["g"])
+    bad = dict(b)
+    bad["B"] = b["B"] + np.float32("nan")
+    tr2.set_input(bad)
+    tr2.optimize_parameters(cfg2)
+    jax.tree_util.tree_map(
+        lambda a, c: np.testing.assert_array_equal(np.asarray(a), c),
+        tr2.state["g"], snap2)
+    # and a following healthy step still updates
+    tr2.set_input(b)
+    tr2.optimize_parameters(cfg2)
+    changed = jax.tree_util.tree_reduce(
+        lambda acc, leaf: acc or bool(np.any(leaf)),
+        jax.tree_util.tree_map(
+            lambda a, c: np.asarray(a) != c, tr2.state["g"], snap2),
+        False)
+    assert changed
+    assert np.isfinite(float(tr2.get_current_losses()["G"]))
