@@ -31,6 +31,13 @@ def main():
     ap.add_argument("--float_wire", action="store_true",
                     help="un-quantized synthetic floats (disables the "
                          "lossless uint8 input wire the loader path gets)")
+    ap.add_argument("--device_input", action="store_true",
+                    help="commit the batch on-device once and skip "
+                         "set_input in the timed loop: isolates the DEVICE "
+                         "step for A/Bs (the default loader-realistic mode "
+                         "includes ~0.2-0.4 s/step of host u8-wire work + "
+                         "relay upload whose day-to-day weather swings "
+                         "exceeded the r5 flash-vs-dense margin)")
     args = ap.parse_args()
     if args.mrf_block:
         import os
@@ -69,6 +76,10 @@ def main():
     t0 = time.perf_counter()
     tr.optimize_parameters(cfg)           # init + compile + first step
     compile_s = time.perf_counter() - t0
+    if args.device_input:
+        import jax
+        tr._batch = jax.device_put(tr._batch)
+        jax.block_until_ready(tr._batch)
 
     # median of 3 windows on the monotonic clock (see bench.py: a wall
     # clock step once produced an impossible img/s reading mid-ladder)
@@ -76,7 +87,8 @@ def main():
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            tr.set_input(batch)
+            if not args.device_input:
+                tr.set_input(batch)
             tr.optimize_parameters(cfg)
         float(tr.get_current_losses()["G"])   # sync
         windows.append((time.perf_counter() - t0) / args.iters)
@@ -103,6 +115,7 @@ def main():
         "batch": args.batch, "dtype": args.dtype, "remat": args.remat,
         "remat_mode": args.remat_mode if args.remat else "none",
         "mrf_block": args.mrf_block or 2048,
+        "device_input": bool(args.device_input),
         "compile_s": round(compile_s, 1),
         "gflops_per_img": round(flops / args.batch / 1e9, 1),
     }))
