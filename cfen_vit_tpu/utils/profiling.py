@@ -86,11 +86,24 @@ def model_flops_lookup(key: str) -> Optional[float]:
     program) and committed, so bench runs pay no extra compile."""
     import json
     import os
+    import re
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), "model_flops.json")
     try:
         with open(path) as fh:
-            entry = json.load(fh).get(key)
+            table = json.load(fh)
+        entry = table.get(key)
+        if entry is None:
+            # GFLOPs/img is batch-linear, so a basis computed at any batch
+            # serves every batch of the same geometry (the dense-path b8
+            # train program doesn't even fit HBM; its basis is committed
+            # at b4).  Fall back to a key differing only in the _bN_ field.
+            pat = re.compile("^" + re.sub(r"_b\d+_", r"_b\\d+_",
+                                          re.escape(key)) + "$")
+            for k, v in sorted(table.items()):
+                if pat.match(k):
+                    entry = v
+                    break
         return float(entry["gflops_per_img"]) if entry else None
     except Exception:
         return None

@@ -102,7 +102,13 @@ def main():
             "B_paths": [f"{i}.png" for i in range(args.batch)],
         }
         tr.set_input(batch)
-        tr.optimize_parameters(cfg)     # init + build _step_fn (one step)
+        # Build WITHOUT executing a step: the dense-path b8 512px train
+        # program does not fit v5e HBM (compile-time buffer-assignment
+        # RESOURCE_EXHAUSTED, r5 ladder2) — and FLOPs/img is batch-linear,
+        # so the committed basis is computed at --batch 4 (the dense path's
+        # own r2 operating point) and looked up batch-agnostically.
+        tr.init_state({k: np.asarray(v) for k, v in tr._batch.items()})
+        tr._step_fn = tr._make_step()
         comp = tr._step_fn.lower(
             tr.state, tr._batch, tr.vgg,
             jnp.asarray(tr.lr, jnp.float32)).compile()
