@@ -154,7 +154,11 @@ class DehazingModel:
         def host(a):
             a = np.asarray(a)
             return a if a.dtype == np.uint8 else a.astype(np.float32)
-        self.visuals = {"real_B": host(self.real_B)}
+        # --out_all discards every non-fake_A visual including real_B
+        # (ref test.py:47-55 deletes them post-hoc); the d-only program
+        # skips materializing it — downloading the input again was ~30%
+        # of the steady per-batch time over this relay (r5 e2e diagnosis)
+        self.visuals = {} if self._d_only else {"real_B": host(self.real_B)}
         for b, arr in out.items():
             name = _VISUAL[b]
             if b == "dh" and "d" not in self.spec.branches:

@@ -6,10 +6,13 @@ the r4+ stack (phase trunk, u8 wire, AUTO layouts, native codec).  The
 last measurement was r2-era ("64 images in ~33 s incl ~25 s startup");
 the device is ~3x faster since.
 
-Method: startup (param upload + cached-executable reload over the relay)
-dominates a single short run, so two runs of different sizes are
-differenced — steady img/s = (n_big - n_small) / (t_big - t_small) — after
-a warmup run populates the XLA compile cache.
+Method: ONE CLI process over the big folder; test.py itself reports
+steady-state img/s excluding batch 0 (which carries the jit compile /
+persistent-cache deserialize).  The r5 first attempt differenced two
+process runs of different sizes — rejected: per-process startup over the
+relay varies by +-50 s (compile-service queueing, param upload), an order
+of magnitude above the 64-image signal, and it read a bogus 0.3 img/s.
+In-process per-batch timing has no such term.
 
     python scripts/bench_e2e.py [--n_small 8] [--n_big 72] [--batch 8]
 Prints one JSON line.
@@ -76,7 +79,8 @@ def make_ckpt(size: int) -> str:
     return ckpt
 
 
-def run_cli(root: str, ckpt: str, size: int, batch: int) -> float:
+def run_cli(root: str, ckpt: str, size: int, batch: int):
+    """Returns (wall_s, total_img_s, steady_img_s) for one test.py run."""
     argv = [sys.executable, os.path.join(REPO, "test.py"),
             "--dataroot", root, "--name", "e2e",
             "--checkpoints_dir", ckpt,
@@ -86,45 +90,45 @@ def run_cli(root: str, ckpt: str, size: int, batch: int) -> float:
             "--n_feats", "24", "--loadSize", str(size // 2),
             "--patch_size", str(size // 16), "--num_heads", "4",
             "--hidden_dim_ratio", "4", "--batchSize", str(batch),
+            "--compute_dtype", "bfloat16",
             "--sb", "--out_all", "--which_epoch", "32",
             "--how_many", "100000"]
     t0 = time.perf_counter()
-    subprocess.run(argv, check=True, cwd=REPO,
-                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-    return time.perf_counter() - t0
+    out = subprocess.run(argv, check=True, cwd=REPO,
+                         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                         text=True).stdout
+    wall = time.perf_counter() - t0
+    import re
+    m = re.search(r"\(([\d.]+) img/s\)(?: \(steady ([\d.]+) img/s", out)
+    total = float(m.group(1)) if m else float("nan")
+    steady = float(m.group(2)) if m and m.group(2) else float("nan")
+    return wall, total, steady
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n_small", type=int, default=8)
+    ap.add_argument("--n_small", type=int, default=8)   # kept for CLI compat
     ap.add_argument("--n_big", type=int, default=72)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--batch", type=int, default=8)
     args = ap.parse_args()
 
     ckpt = make_ckpt(args.size)
-    small = make_data(args.n_small, args.size)
     big = make_data(args.n_big, args.size)
 
-    # warm with the BIG run: it touches every batch shape the small run
-    # will see (a first ladder1 attempt warmed with the small run and the
-    # next run still hit a ~10 min compile, flipping the difference
-    # negative)
+    # run 1 populates the persistent compile cache; run 2 is the receipt
+    # (its batch 0 still pays the cache deserialize + param upload, which
+    # the steady figure excludes by construction)
     run_cli(big, ckpt, args.size, args.batch)
-    t_big = run_cli(big, ckpt, args.size, args.batch)
-    t_small = run_cli(small, ckpt, args.size, args.batch)
-    n_d = args.n_big - args.n_small
-    t_d = t_big - t_small
-    steady = n_d / t_d if t_d > 0 else float("nan")
-    startup = t_small - args.n_small / steady if steady == steady else None
+    wall, total, steady = run_cli(big, ckpt, args.size, args.batch)
+    startup = (wall - args.n_big / steady) if steady == steady else None
     print(json.dumps({
         "metric": "test_py_e2e_images_per_sec",
         "value": round(steady, 2), "unit": "img/s",
-        "t_small_s": round(t_small, 1), "t_big_s": round(t_big, 1),
-        "n_small": args.n_small, "n_big": args.n_big,
-        "batch": args.batch,
+        "total_incl_startup": round(total, 2),
+        "wall_s": round(wall, 1), "n": args.n_big, "batch": args.batch,
         "startup_s": round(startup, 1) if startup is not None else None,
-        **({"noisy": True} if t_d <= 0 else {}),
+        "dtype": "bfloat16",
     }), flush=True)
 
 

@@ -43,6 +43,7 @@ def main(argv=None):
                             f"Epoch = {cfg.which_epoch}")
 
     n_images, t0 = 0, time.time()
+    n_steady, t_first_done = 0, None
     with jax.default_matmul_precision(cfg.precision):
         for i, data in enumerate(dataset):
             if i >= cfg.how_many:
@@ -59,10 +60,20 @@ def main(argv=None):
                         aspect_ratio=cfg.aspect_ratio,
                         width=cfg.display_winsize, webpage=webpage)
             n_images += len(img_path)
+            if t_first_done is None:
+                # batch 0 carries the jit compile (or the persistent-cache
+                # deserialize); steady-state throughput excludes it
+                t_first_done = time.time()
+            else:
+                n_steady += len(img_path)
     webpage.save()
     dt = time.time() - t0
+    steady = ""
+    if n_steady:
+        ss = n_steady / max(time.time() - t_first_done, 1e-9)
+        steady = f" (steady {ss:.2f} img/s after batch 0)"
     print(f"processed {n_images} images in {dt:.2f}s "
-          f"({n_images / max(dt, 1e-9):.2f} img/s) -> {web_dir}")
+          f"({n_images / max(dt, 1e-9):.2f} img/s){steady} -> {web_dir}")
 
 
 if __name__ == "__main__":
