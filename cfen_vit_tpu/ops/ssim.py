@@ -78,8 +78,15 @@ def ssim(img1, img2, window_size: int = 11, val_range=None, full: bool = False):
     mu1 = _depthwise_sep(img1, g)
     mu2 = _depthwise_sep(img2, g)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _depthwise_sep(img1 * img1, g) - mu1_sq
-    sigma2_sq = _depthwise_sep(img2 * img2, g) - mu2_sq
+    # E[x^2] - mu^2 by cancellation: in bf16 (eps ~0.008) near-constant
+    # windows give sigma_sq ~ -1e-3..-1e-4, so v2 = s1+s2+C2 can go
+    # negative or round to EXACTLY 0 -> ssim_map +-inf (r5 device overfit:
+    # ssim_r = -inf at step 117 -> G = -inf).  Variance is analytically
+    # >= 0, so the relu is an exact-math no-op that also kills the silent
+    # huge-ratio outliers a tiny-negative denominator injects.  Covariance
+    # sigma12 is legitimately signed — not clamped.
+    sigma1_sq = jnp.maximum(_depthwise_sep(img1 * img1, g) - mu1_sq, 0.0)
+    sigma2_sq = jnp.maximum(_depthwise_sep(img2 * img2, g) - mu2_sq, 0.0)
     sigma12 = _depthwise_sep(img1 * img2, g) - mu1_mu2
 
     C1 = (0.01 * L) ** 2

@@ -439,10 +439,11 @@ class GanTrainer:
             # the G nor the D update.  Gate by SELECT, not multiply —
             # 0 * NaN = NaN, so the r5 device overfit run poisoned params,
             # Adam moments AND the image pools straight through the old
-            # multiplicative skip.  (gl < thr) is False for NaN, so
-            # non-finite batches skip too; moments and pools keep their
-            # previous values on a skipped step.
-            ok = gl < skip_thr
+            # multiplicative skip.  (gl < thr) is False for NaN but TRUE
+            # for -inf (the r5 ssim_r = -inf blow-up would have sailed
+            # through), so gate on isfinite explicitly; moments and pools
+            # keep their previous values on a skipped step.
+            ok = jnp.isfinite(gl) & (gl < skip_thr)
 
             def gate(new, old):
                 return jax.tree_util.tree_map(

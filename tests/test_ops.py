@@ -228,3 +228,29 @@ def test_mha_headmajor_equivalence(rng):
     a = np.asarray(mha_apply(pb, xb, xb, xb, h), np.float32)
     b = np.asarray(mha_apply_headmajor(pb, xb, xb, xb, h), np.float32)
     np.testing.assert_allclose(a, b, rtol=0.05, atol=0.05)
+
+
+def test_ssim_bf16_near_constant_stays_finite(rng):
+    """bf16 cancellation guard (r5 device overfit: ssim_r = -inf at step
+    117).  E[x^2] - mu^2 in bf16 (eps ~0.008) goes ~-1e-3 negative on
+    near-constant windows, so v2 = s1+s2+C2 could round to <= 0 ->
+    ssim_map +-inf (or silent huge-ratio outliers).  The relu on the
+    variance terms is an exact-math no-op (variance >= 0); this stress
+    sweep must stay finite and inside the analytic SSIM range."""
+    import jax
+
+    f = jax.jit(lambda a, b: S.ssim(a, b))
+    g = jax.jit(jax.grad(lambda a, b: S.ssim(a, b)))
+    for seed in range(40):
+        r = np.random.RandomState(seed)
+        base = r.uniform(-1, 1)
+        a = base + r.randn(2, 64, 64, 3) * 1e-3
+        b = a + r.randn(2, 64, 64, 3) * 1e-3
+        a = jnp.asarray(a, jnp.bfloat16)
+        b = jnp.asarray(b, jnp.bfloat16)
+        v = float(f(a, b))
+        # bf16 rounds near-identical windows to ssim ~1 +- 0.08 (numerator
+        # and denominator quantize independently) — benign; the regression
+        # target is the inf/huge-ratio class, hence the loose bound
+        assert np.isfinite(v) and -1.25 <= v <= 1.25, (seed, v)
+        assert bool(jnp.all(jnp.isfinite(g(a, b)))), seed

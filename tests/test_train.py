@@ -299,3 +299,34 @@ def test_skip_threshold_select_gating(rng, tmp_path):
         False)
     assert changed
     assert np.isfinite(float(tr2.get_current_losses()["G"]))
+
+
+def test_skip_threshold_gates_minus_inf(rng, tmp_path, monkeypatch):
+    """-inf G loss must skip too: (gl < thr) is TRUE for -inf, so the
+    gate needs isfinite(gl) as well (r5 device overfit: a bf16 SSIM
+    denominator hit exactly 0 -> ssim_r = -inf -> G = -inf; pre-fix the
+    'skip' valve would have applied the inf gradients).  Force the loss
+    to -inf by patching the trainer's ssim to +inf (loss = (1-ssim)*3)."""
+    import jax
+    import jax.numpy as jnp
+    from cfen_vit_tpu.train import trainer as T
+
+    monkeypatch.setattr(
+        T, "ssim", lambda a, b, **kw: jnp.float32(jnp.inf))
+    cfg = _tiny_cfg(tmp_path, name="tinf")
+    tr = T.GanTrainer(cfg)
+    tr.setup(cfg)
+    b = _batch(rng)
+    tr.set_input(b)
+    tr.optimize_parameters(cfg)      # builds + runs the step, G = -inf
+    assert float(tr.get_current_losses()["G"]) == -np.inf
+    snap = jax.tree_util.tree_map(np.asarray, tr.state["g"])
+    tr.set_input(b)
+    tr.optimize_parameters(cfg)      # must be a no-op on params
+    jax.tree_util.tree_map(
+        lambda a, c: np.testing.assert_array_equal(np.asarray(a), c),
+        tr.state["g"], snap)
+    finite = jax.tree_util.tree_reduce(
+        lambda acc, leaf: acc and bool(np.all(np.isfinite(leaf))),
+        tr.state["g"], True)
+    assert finite
