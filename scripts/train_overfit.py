@@ -143,8 +143,13 @@ def main():
         "G_first": first["G"], "G_last": last["G"],
         "psnr_first": first["psnr"], "psnr_last": last["psnr"],
         "psnr_best": max(h["psnr"] for h in hist),
-        "g_decreased": bool(last["G"] < first["G"]),
-        "psnr_improved": bool(last["psnr"] > first["psnr"]),
+        # -inf "decreases" numerically but is a blow-up, not optimization
+        # (the r5 ladder3 run reported g_decreased=true with G_last=-inf)
+        "g_decreased": bool(np.isfinite(last["G"])
+                            and last["G"] < first["G"]),
+        "psnr_improved": bool(np.isfinite(last["psnr"])
+                              and last["psnr"] > first["psnr"]),
+        "finished": bool(last["step"] + 1 >= args.steps),
     }), flush=True)
 
 
