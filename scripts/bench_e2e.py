@@ -99,7 +99,7 @@ def run_cli(root: str, ckpt: str, size: int, batch: int):
                          text=True).stdout
     wall = time.perf_counter() - t0
     import re
-    m = re.search(r"\(([\d.]+) img/s\)(?: \(steady ([\d.]+) img/s", out)
+    m = re.search(r"\(([\d.]+) img/s\)(?: \(steady ([\d.]+) img/s)?", out)
     total = float(m.group(1)) if m else float("nan")
     steady = float(m.group(2)) if m and m.group(2) else float("nan")
     return wall, total, steady
